@@ -1,0 +1,195 @@
+"""Exact Gaussian-process layer: marginal log likelihood and posterior.
+
+From-scratch replacement for the reference's GPyTorch ExactGP machinery
+(fs_mol/utils/gp_utils.py:7-49 plus gpytorch's ExactMarginalLogLikelihood
+and posterior test caches): zero mean, scaled base kernel, Gaussian
+likelihood, all as pure jittable functions of a raw-parameter pytree.
+
+Conventions matched to the reference:
+  * MLL value is divided by the number of training points, and prior
+    log-probs are added before the division (gpytorch
+    ExactMarginalLogLikelihood semantics — the inner objective the
+    reference's L-BFGS fits and whose Hessian the IFT uses).
+  * The predictive ("outer") loss is the joint multivariate-normal NLL
+    of the query labels under likelihood(posterior) — gradients flow
+    through the posterior, the analogue of detach_test_caches(False)
+    (adaptive_dkt.py:183-189).
+
+TPU notes: everything is float32; Cholesky factorizations get a fixed
+jitter; matmuls request HIGHEST precision so XLA does not substitute
+bf16 passes inside the solve chain.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from adkf_ift_tpu.gp.kernels import KernelConfig, kernel_matrix
+from adkf_ift_tpu.gp.priors import GPPriorConfig, prior_log_prob
+from adkf_ift_tpu.gp.transforms import raw_to_noise, raw_to_positive
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+_LOG_2PI = math.log(2.0 * math.pi)
+DEFAULT_JITTER = 1e-5
+
+
+@dataclass(frozen=True)
+class ExactGPConfig:
+    kernel: KernelConfig = KernelConfig()
+    priors: GPPriorConfig = GPPriorConfig()
+    jitter: float = DEFAULT_JITTER
+
+
+class GPPosterior(NamedTuple):
+    """Predictive distribution of the latent function (+noise if noisy)."""
+
+    mean: jnp.ndarray  # [q]
+    covariance: jnp.ndarray  # [q, q]
+
+    @property
+    def variance(self) -> jnp.ndarray:
+        return jnp.diagonal(self.covariance)
+
+
+def _chol(mat: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    n = mat.shape[-1]
+    return jnp.linalg.cholesky(mat + jitter * jnp.eye(n, dtype=mat.dtype))
+
+
+def _train_covariance(
+    config: ExactGPConfig, params: dict, x: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """K(x, x) + σ²I, with masked-out rows/cols replaced by identity.
+
+    Padding trick: for a padded point i (mask=0) we overwrite row/col i
+    with e_i so the Cholesky stays well posed and, together with y_i=0,
+    the point contributes only a constant to the log density.
+    """
+    noise = raw_to_noise(params["raw_noise"])
+    k = kernel_matrix(config.kernel, params, x, x)
+    n = x.shape[0]
+    cov = k + noise * jnp.eye(n, dtype=k.dtype)
+    if mask is not None:
+        m = mask.astype(cov.dtype)
+        outer = m[:, None] * m[None, :]
+        cov = cov * outer + jnp.diag(1.0 - m)
+    return cov
+
+
+def mvn_nll(mean: jnp.ndarray, cov: jnp.ndarray, y: jnp.ndarray, jitter: float = DEFAULT_JITTER,
+            mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Joint negative log density of y under N(mean, cov).
+
+    With a mask, padded dimensions are replaced by standard normals of
+    zero residual (constant contribution -0.5*log(2π) each, subtracted
+    out) so gradients and values match the unpadded computation.
+    """
+    resid = y - mean
+    n = y.shape[0]
+    if mask is not None:
+        m = mask.astype(cov.dtype)
+        outer = m[:, None] * m[None, :]
+        cov = cov * outer + jnp.diag(1.0 - m)
+        resid = resid * m
+    chol = _chol(cov, jitter)
+    alpha = jax.scipy.linalg.solve_triangular(chol, resid, lower=True)
+    quad = jnp.sum(alpha * alpha)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    nll = 0.5 * (quad + logdet + n * _LOG_2PI)
+    if mask is not None:
+        num_pad = n - jnp.sum(mask)
+        nll = nll - 0.5 * num_pad * _LOG_2PI
+    return nll
+
+
+def marginal_log_likelihood(
+    config: ExactGPConfig,
+    params: dict,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    lengthscale_prior_loc: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Exact MLL averaged over data points, with prior terms.
+
+    Matches gpytorch's ExactMarginalLogLikelihood: (log N(y; 0, K+σ²I) +
+    Σ log p(θ)) / n. This is the quantity the inner loop maximizes.
+    """
+    cov = _train_covariance(config, params, x, mask)
+    if mask is not None:
+        y = y * mask.astype(y.dtype)
+    chol = _chol(cov, config.jitter)
+    alpha = jax.scipy.linalg.solve_triangular(chol, y, lower=True)
+    quad = jnp.sum(alpha * alpha)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    if mask is not None:
+        n_eff = jnp.sum(mask)
+    else:
+        n_eff = jnp.asarray(y.shape[0], dtype=y.dtype)
+    log_marginal = -0.5 * (quad + logdet + n_eff * _LOG_2PI)
+
+    noise = raw_to_noise(params["raw_noise"])
+    lengthscale = None
+    if config.kernel.has_lengthscale:
+        lengthscale = raw_to_positive(params["raw_lengthscale"])
+    log_prior = prior_log_prob(config.priors, noise, lengthscale, lengthscale_prior_loc)
+    return (log_marginal + log_prior) / n_eff
+
+
+def posterior(
+    config: ExactGPConfig,
+    params: dict,
+    x_support: jnp.ndarray,
+    y_support: jnp.ndarray,
+    x_query: jnp.ndarray,
+    support_mask: Optional[jnp.ndarray] = None,
+    noisy: bool = True,
+) -> GPPosterior:
+    """GP predictive distribution at x_query given (x_support, y_support).
+
+    noisy=True adds observation noise to the predictive covariance —
+    the reference's likelihood(gp_model(query)) (adaptive_dkt.py:203).
+    Fully differentiable wrt all inputs (the detach_test_caches(False)
+    semantics fall out for free).
+    """
+    cov_ss = _train_covariance(config, params, x_support, support_mask)
+    if support_mask is not None:
+        y_support = y_support * support_mask.astype(y_support.dtype)
+    k_qs = kernel_matrix(config.kernel, params, x_query, x_support)
+    if support_mask is not None:
+        k_qs = k_qs * support_mask.astype(k_qs.dtype)[None, :]
+    k_qq = kernel_matrix(config.kernel, params, x_query, x_query)
+
+    chol = _chol(cov_ss, config.jitter)
+    # mean = K_qs (K_ss + σ²I)^{-1} y
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y_support)
+    mean = jnp.matmul(k_qs, alpha, precision=_HIGHEST)
+    # cov = K_qq - K_qs (K_ss + σ²I)^{-1} K_sq
+    v = jax.scipy.linalg.solve_triangular(chol, k_qs.T, lower=True)
+    cov = k_qq - jnp.matmul(v.T, v, precision=_HIGHEST)
+    if noisy:
+        noise = raw_to_noise(params["raw_noise"])
+        cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return GPPosterior(mean=mean, covariance=cov)
+
+
+def predictive_nll(
+    config: ExactGPConfig,
+    params: dict,
+    x_support: jnp.ndarray,
+    y_support: jnp.ndarray,
+    x_query: jnp.ndarray,
+    y_query: jnp.ndarray,
+    support_mask: Optional[jnp.ndarray] = None,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sum of negative log predictive probability of query labels under
+    the noisy joint posterior — the ADKF-IFT outer objective
+    (adaptive_dkt.py:183-189, mode (c))."""
+    post = posterior(config, params, x_support, y_support, x_query, support_mask, noisy=True)
+    return mvn_nll(post.mean, post.covariance, y_query, config.jitter, mask=query_mask)

@@ -1,0 +1,240 @@
+"""Fully-compiled inner-loop optimizer for GP hyperparameters.
+
+Replaces the reference's per-task scipy L-BFGS-B round-trip
+(botorch fit_gpytorch_scipy called at fs_mol/utils/adaptive_dkt_utils.py:91
+and siblings) with a fixed-iteration L-BFGS + Armijo backtracking written
+entirely in lax.scan, so the fit jits, vmaps over a task batch, and runs
+on-device with zero host synchronization.
+
+The optimized parameter vector is tiny (3 scalars without ARD, ~2050
+with ARD — SURVEY.md §2.9), so per-iteration cost is dominated by the
+O(n³) Cholesky inside each MLL evaluation; a fixed iteration budget with
+convergence masking wastes only masked lanes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adkf_ift_tpu.gp.exact import ExactGPConfig, marginal_log_likelihood
+from adkf_ift_tpu.gp.kernels import KernelConfig
+
+
+@dataclass(frozen=True)
+class LBFGSConfig:
+    max_iters: int = 48
+    history: int = 8
+    grad_tol: float = 1e-5
+    # Parallel line-search ladder: candidate steps 2^max_growth .. 2^-max_backtrack,
+    # all evaluated in ONE vmapped (batched-Cholesky) call per iteration; the
+    # largest step satisfying Armijo wins. Sequential backtracking would chain
+    # ~20 small Choleskys per iteration — on TPU a single batched factorization
+    # is dramatically cheaper in wall-clock.
+    max_growth: int = 6
+    max_backtrack: int = 16
+    armijo_c1: float = 1e-4
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    value: jnp.ndarray
+    grad_norm: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def lbfgs_minimize(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    config: LBFGSConfig = LBFGSConfig(),
+) -> LBFGSResult:
+    """Minimize `fun` (R^d -> R) from x0 with bounded-memory L-BFGS.
+
+    Fixed trip count (lax.scan) with a convergence mask so the whole
+    routine is jittable and vmappable. Non-finite trial values are
+    rejected by the backtracking line search, which makes the fit robust
+    to the hard boundary regions of the raw-parameter space.
+    """
+    d = x0.shape[0]
+    m = config.history
+    value_and_grad = jax.value_and_grad(fun)
+
+    def two_loop(grad, s_hist, y_hist, rho_hist, head, count):
+        """Standard L-BFGS two-loop recursion over a circular buffer."""
+        q = grad
+        idxs = (head - 1 - jnp.arange(m)) % m  # newest -> oldest
+        valid = jnp.arange(m) < count
+
+        def bwd(carry, i):
+            q, alphas = carry
+            v = valid[i]
+            s, y, rho = s_hist[idxs[i]], y_hist[idxs[i]], rho_hist[idxs[i]]
+            alpha = jnp.where(v, rho * jnp.dot(s, q), 0.0)
+            q = q - alpha * y * jnp.where(v, 1.0, 0.0)
+            alphas = alphas.at[i].set(alpha)
+            return (q, alphas), None
+
+        (q, alphas), _ = jax.lax.scan(bwd, (q, jnp.zeros(m, x0.dtype)), jnp.arange(m))
+
+        # Initial Hessian scaling gamma = s·y / y·y of the newest pair.
+        newest = idxs[0]
+        sy = jnp.dot(s_hist[newest], y_hist[newest])
+        yy = jnp.dot(y_hist[newest], y_hist[newest])
+        gamma = jnp.where(count > 0, sy / jnp.maximum(yy, 1e-20), 1.0)
+        r = gamma * q
+
+        def fwd(r, i):
+            j = m - 1 - i  # oldest -> newest
+            v = valid[j]
+            s, y, rho = s_hist[idxs[j]], y_hist[idxs[j]], rho_hist[idxs[j]]
+            beta = jnp.where(v, rho * jnp.dot(y, r), 0.0)
+            r = r + (alphas[j] - beta) * s * jnp.where(v, 1.0, 0.0)
+            return r, None
+
+        r, _ = jax.lax.scan(fwd, r, jnp.arange(m))
+        return r
+
+    # Static step ladder, largest first.
+    ladder = jnp.asarray(
+        [2.0**j for j in range(config.max_growth, -config.max_backtrack - 1, -1)],
+        x0.dtype,
+    )
+
+    def linesearch(x, f, grad, direction):
+        """Parallel Armijo line search: evaluate every candidate step in one
+        batched call, accept the largest step satisfying the Armijo condition."""
+        dg = jnp.dot(grad, direction)
+        trials = x[None, :] + ladder[:, None] * direction[None, :]
+        f_trials = jax.vmap(fun)(trials)
+        ok = jnp.isfinite(f_trials) & (f_trials <= f + config.armijo_c1 * ladder * dg)
+        any_ok = jnp.any(ok)
+        first_ok = jnp.argmax(ok)  # ladder is descending => largest accepted step
+        best_step = jnp.where(any_ok, ladder[first_ok], 0.0)
+        return best_step, any_ok
+
+    f0, g0 = value_and_grad(x0)
+
+    def step(carry, _):
+        x, f, grad, s_hist, y_hist, rho_hist, head, count, converged, iters = carry
+
+        direction = -two_loop(grad, s_hist, y_hist, rho_hist, head, count)
+        # Fall back to steepest descent if the direction is not a descent
+        # direction (can happen with a stale/degenerate history).
+        descent = jnp.dot(grad, direction) < 0.0
+        direction = jnp.where(descent, direction, -grad)
+        # First iteration (empty history): trust-region-style scaling so a
+        # huge initial gradient cannot poison the curvature history with a
+        # microscopic backtracked pair.
+        first_scale = 1.0 / jnp.maximum(1.0, jnp.max(jnp.abs(direction)))
+        direction = jnp.where(count == 0, direction * first_scale, direction)
+
+        step_size, ls_ok = linesearch(x, f, grad, direction)
+        x_new = x + step_size * direction
+        f_new, g_new = value_and_grad(x_new)
+
+        moved = ls_ok & ~converged
+        x_new = jnp.where(moved, x_new, x)
+        f_new = jnp.where(moved, f_new, f)
+        g_new = jnp.where(moved, g_new, grad)
+
+        s = x_new - x
+        y = g_new - grad
+        sy = jnp.dot(s, y)
+        store = moved & (sy > 1e-10)
+        rho = jnp.where(store, 1.0 / jnp.where(store, sy, 1.0), 0.0)
+        s_hist = jnp.where(store, s_hist.at[head].set(s), s_hist)
+        y_hist = jnp.where(store, y_hist.at[head].set(y), y_hist)
+        rho_hist = jnp.where(store, rho_hist.at[head].set(rho), rho_hist)
+        head = jnp.where(store, (head + 1) % m, head)
+        count = jnp.where(store, jnp.minimum(count + 1, m), count)
+
+        grad_norm = jnp.max(jnp.abs(g_new))
+        converged = converged | (grad_norm < config.grad_tol) | ~ls_ok
+        iters = iters + jnp.where(converged, 0, 1)
+        return (x_new, f_new, g_new, s_hist, y_hist, rho_hist, head, count, converged, iters), None
+
+    init = (
+        x0,
+        f0,
+        g0,
+        jnp.zeros((m, d), x0.dtype),
+        jnp.zeros((m, d), x0.dtype),
+        jnp.zeros((m,), x0.dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.max(jnp.abs(g0)) < config.grad_tol,
+        jnp.zeros((), jnp.int32),
+    )
+    (x, f, g, *_rest, iters), _ = jax.lax.scan(step, init, None, length=config.max_iters)
+    return LBFGSResult(x=x, value=f, grad_norm=jnp.max(jnp.abs(g)), iterations=iters)
+
+
+# ---------------------------------------------------------------------------
+# GP-parameter flattening and the inner objective
+# ---------------------------------------------------------------------------
+
+
+def flatten_gp_params(kernel: KernelConfig, params: dict) -> jnp.ndarray:
+    """Deterministic flat layout: [raw_noise, raw_outputscale, rest...]."""
+    parts = [jnp.reshape(params["raw_noise"], (-1,)), jnp.reshape(params["raw_outputscale"], (-1,))]
+    if kernel.has_lengthscale:
+        parts.append(jnp.reshape(params["raw_lengthscale"], (-1,)))
+    if kernel.kind in ("poli1", "poli2"):
+        parts.append(jnp.reshape(params["raw_offset"], (-1,)))
+    if kernel.kind == "linear":
+        parts.append(jnp.reshape(params["raw_variance"], (-1,)))
+    return jnp.concatenate(parts)
+
+
+def unflatten_gp_params(kernel: KernelConfig, flat: jnp.ndarray) -> dict:
+    params = {"raw_noise": flat[0], "raw_outputscale": flat[1]}
+    idx = 2
+    if kernel.has_lengthscale:
+        n_ls = kernel.ard_dims or 1
+        ls = flat[idx : idx + n_ls]
+        params["raw_lengthscale"] = ls if kernel.ard_dims else ls[0]
+        idx += n_ls
+    if kernel.kind in ("poli1", "poli2"):
+        params["raw_offset"] = flat[idx]
+        idx += 1
+    if kernel.kind == "linear":
+        params["raw_variance"] = flat[idx]
+        idx += 1
+    return params
+
+
+def make_inner_loss(
+    config: ExactGPConfig,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    lengthscale_prior_loc: Optional[jnp.ndarray] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Inner objective: negative (MLL + priors)/n as a function of the flat
+    raw GP parameter vector (the reference's -mll, adaptive_dkt.py:173-176)."""
+
+    def loss(flat: jnp.ndarray) -> jnp.ndarray:
+        params = unflatten_gp_params(config.kernel, flat)
+        return -marginal_log_likelihood(
+            config, params, x, y, mask=mask, lengthscale_prior_loc=lengthscale_prior_loc
+        )
+
+    return loss
+
+
+def fit_gp(
+    config: ExactGPConfig,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    init_flat: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    lengthscale_prior_loc: Optional[jnp.ndarray] = None,
+    optimizer: LBFGSConfig = LBFGSConfig(),
+) -> Tuple[jnp.ndarray, LBFGSResult]:
+    """Fit raw GP hyperparameters to (x, y) by compiled L-BFGS on the MLL."""
+    loss = make_inner_loss(config, x, y, mask, lengthscale_prior_loc)
+    result = lbfgs_minimize(loss, init_flat, optimizer)
+    return result.x, result

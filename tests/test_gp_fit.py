@@ -1,0 +1,136 @@
+"""Tests for the compiled inner-loop L-BFGS: convergence on analytic
+functions, parity with scipy L-BFGS-B on real GP marginal likelihoods
+(the reference's inner optimizer), and vmappability."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adkf_ift_tpu.gp import (
+    ExactGPConfig,
+    GPPriorConfig,
+    KernelConfig,
+    LBFGSConfig,
+    fit_gp,
+    flatten_gp_params,
+    init_raw_params,
+    kernel_matrix,
+    lbfgs_minimize,
+    make_inner_loss,
+    median_lengthscale_init,
+    mode_to_loc,
+    noise_to_raw,
+    positive_to_raw,
+    raw_to_noise,
+    raw_to_positive,
+    unflatten_gp_params,
+)
+
+
+def test_lbfgs_quadratic():
+    a = jnp.asarray(np.diag([1.0, 10.0, 100.0]).astype(np.float32))
+    b = jnp.asarray(np.array([1.0, -2.0, 3.0], np.float32))
+
+    def f(x):
+        return 0.5 * x @ a @ x - b @ x
+
+    res = lbfgs_minimize(f, jnp.zeros(3), LBFGSConfig(max_iters=60))
+    expected = np.linalg.solve(np.asarray(a), np.asarray(b))
+    assert np.allclose(np.asarray(res.x), expected, atol=1e-4)
+
+
+def test_lbfgs_rosenbrock():
+    def rosen(x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+
+    res = lbfgs_minimize(rosen, jnp.asarray([-1.2, 1.0]), LBFGSConfig(max_iters=200, history=10))
+    assert np.allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-2)
+
+
+def _make_episode(seed, n=32, d=8):
+    """Synthetic GP-distributed data so the MLL has a meaningful optimum."""
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).astype(np.float32)
+    true_params = {
+        "raw_noise": noise_to_raw(jnp.asarray(0.1)),
+        "raw_outputscale": positive_to_raw(jnp.asarray(2.0)),
+        "raw_lengthscale": positive_to_raw(jnp.asarray(1.5)),
+    }
+    cfg = KernelConfig("matern")
+    k = np.array(kernel_matrix(cfg, true_params, jnp.asarray(x), jnp.asarray(x)))
+    k += 0.1 * np.eye(n)
+    y = np.linalg.cholesky(k + 1e-6 * np.eye(n)) @ rng.randn(n).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y.astype(np.float32))
+
+
+def _default_init(cfg: ExactGPConfig, x):
+    params = init_raw_params(cfg.kernel)
+    params["raw_noise"] = noise_to_raw(jnp.asarray(cfg.priors.noise_mode))
+    if cfg.kernel.has_lengthscale:
+        med = median_lengthscale_init(x)
+        params["raw_lengthscale"] = positive_to_raw(med)
+    return flatten_gp_params(cfg.kernel, params)
+
+
+def test_fit_matches_scipy_lbfgsb():
+    """Our compiled L-BFGS must reach the same optimum (same final loss
+    within tolerance) as scipy's L-BFGS-B — the reference's fitter."""
+    from scipy.optimize import minimize
+
+    x, y = _make_episode(0)
+    cfg = ExactGPConfig(priors=GPPriorConfig(noise_mode=0.1, use_lengthscale_prior=True))
+    med = median_lengthscale_init(x)
+    ls_loc = mode_to_loc(med)
+    init = _default_init(cfg, x)
+
+    loss = make_inner_loss(cfg, x, y, lengthscale_prior_loc=ls_loc)
+    theta_star, res = fit_gp(cfg, x, y, init, lengthscale_prior_loc=ls_loc)
+    ours = float(loss(theta_star))
+
+    loss_np = lambda t: float(loss(jnp.asarray(t, jnp.float32)))
+    grad_np = lambda t: np.asarray(jax.grad(loss)(jnp.asarray(t, jnp.float32)), np.float64)
+    sp = minimize(loss_np, np.asarray(init, np.float64), jac=grad_np, method="L-BFGS-B")
+    assert ours <= sp.fun + 5e-4, (ours, sp.fun)
+    # Recovered hyperparameters should be close to scipy's.
+    ours_params = unflatten_gp_params(cfg.kernel, theta_star)
+    sp_params = unflatten_gp_params(cfg.kernel, jnp.asarray(sp.x, jnp.float32))
+    assert np.isclose(
+        float(raw_to_noise(ours_params["raw_noise"])),
+        float(raw_to_noise(sp_params["raw_noise"])),
+        rtol=0.1,
+        atol=5e-3,
+    )
+    assert np.isclose(
+        float(raw_to_positive(ours_params["raw_lengthscale"])),
+        float(raw_to_positive(sp_params["raw_lengthscale"])),
+        rtol=0.1,
+    )
+
+
+def test_fit_gradient_near_zero_at_optimum():
+    x, y = _make_episode(1)
+    cfg = ExactGPConfig(priors=GPPriorConfig(use_lengthscale_prior=False))
+    init = _default_init(cfg, x)
+    theta_star, res = fit_gp(cfg, x, y, init)
+    g = jax.grad(make_inner_loss(cfg, x, y))(theta_star)
+    assert float(jnp.max(jnp.abs(g))) < 5e-3, np.asarray(g)
+
+
+def test_fit_vmaps_over_tasks():
+    episodes = [_make_episode(s) for s in range(4)]
+    xs = jnp.stack([e[0] for e in episodes])
+    ys = jnp.stack([e[1] for e in episodes])
+    cfg = ExactGPConfig()
+
+    def one(x, y):
+        med = median_lengthscale_init(x)
+        init = _default_init(cfg, x)
+        theta, res = fit_gp(cfg, x, y, init, lengthscale_prior_loc=mode_to_loc(med))
+        return theta, res.value
+
+    thetas, values = jax.jit(jax.vmap(one))(xs, ys)
+    assert thetas.shape == (4, 3)
+    assert np.all(np.isfinite(np.asarray(values)))
+    # Each vmapped fit must equal the corresponding solo fit.
+    theta0, _ = jax.jit(one)(xs[0], ys[0])
+    assert np.allclose(np.asarray(thetas[0]), np.asarray(theta0), atol=1e-4)
