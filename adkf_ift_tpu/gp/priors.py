@@ -34,11 +34,14 @@ class GPPriorConfig:
 
     noise_mode: mode of the LogNormal noise prior (0.1 classification,
         0.01 regression).
+    use_noise_prior: ADKF registers a noise prior (adaptive_dkt.py:112-121);
+        DKT's likelihood has none (models/dkt.py:85).
     use_lengthscale_prior: whether a LogNormal prior (mode = median
         heuristic, passed at runtime) is placed on the lengthscale.
     """
 
     noise_mode: float = 0.1
+    use_noise_prior: bool = True
     use_lengthscale_prior: bool = True
     scale: float = PRIOR_SCALE
 
@@ -56,9 +59,13 @@ def prior_log_prob(
     the prior location as a constant wrt the encoder: reinit_gp_params is
     called on detached features, adaptive_dkt.py:178).
     """
-    total = jnp.sum(
-        lognormal_logpdf(noise, mode_to_loc(jnp.asarray(config.noise_mode), config.scale), config.scale)
-    )
+    total = jnp.zeros(())
+    if config.use_noise_prior:
+        total = total + jnp.sum(
+            lognormal_logpdf(
+                noise, mode_to_loc(jnp.asarray(config.noise_mode), config.scale), config.scale
+            )
+        )
     if config.use_lengthscale_prior and lengthscale is not None and lengthscale_prior_loc is not None:
         total = total + jnp.sum(lognormal_logpdf(lengthscale, lengthscale_prior_loc, config.scale))
     return total

@@ -1,0 +1,139 @@
+"""Molecule feature extractors.
+
+GraphFeatureExtractor (fs_mol/modules/graph_feature_extractor.py:43-98):
+node projection (32 -> hidden, no bias) -> GNN -> concat all per-layer
+states (use_all_states) -> readout -> optional Layer/BatchNorm -> 512-d
+molecule embedding.
+
+CombinedFeatureExtractor (the ADKT/DKT/ProtoNet/CNP front-end,
+adaptive_dkt.py:42-65, 137-160): GNN embedding ⊕ ECFP fingerprint ⊕
+phys-chem descriptors, optional 2-layer FC projection to 2048-d and
+optional L2 normalization (cossim kernel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from adkf_ift_tpu.data.task import DESCRIPTOR_DIM, FINGERPRINT_DIM, NUM_NODE_FEATURES
+from adkf_ift_tpu.data.episodes import PackedGraphs
+from adkf_ift_tpu.modules.gnn import GNN, GNNConfig
+from adkf_ift_tpu.modules.readout import GraphReadoutConfig, make_readout
+
+
+@dataclass(frozen=True)
+class GraphFeatureExtractorConfig:
+    initial_node_feature_dim: int = NUM_NODE_FEATURES
+    gnn_config: GNNConfig = field(default_factory=GNNConfig)
+    readout_config: GraphReadoutConfig = field(default_factory=GraphReadoutConfig)
+    output_norm: str = "off"  # off | layer | batch
+
+
+class GraphFeatureExtractor(nn.Module):
+    config: GraphFeatureExtractorConfig
+
+    @nn.compact
+    def __call__(self, batch: PackedGraphs, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.Dense(cfg.gnn_config.hidden_dim, use_bias=False, name="init_node_proj")(
+            batch.node_features
+        )
+        states = GNN(cfg.gnn_config, name="gnn")(
+            x, batch.edge_sources, batch.edge_targets, batch.edge_mask, deterministic
+        )
+        if cfg.readout_config.use_all_states:
+            node_repr = jnp.concatenate(states, axis=-1)
+        else:
+            node_repr = states[-1]
+
+        num_graphs = batch.num_graphs
+        mol = make_readout(cfg.readout_config)(
+            node_repr, batch.node_to_graph, batch.node_mask, num_graphs
+        )
+        if cfg.output_norm == "layer":
+            mol = nn.LayerNorm(name="final_norm")(mol)
+        elif cfg.output_norm == "batch":
+            # Masked batch statistics over the real graphs only; padded
+            # rows would otherwise skew the batch norm.
+            m = batch.graph_mask[:, None]
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(mol * m, axis=0, keepdims=True) / count
+            var = jnp.sum(((mol - mean) ** 2) * m, axis=0, keepdims=True) / count
+            mol = (mol - mean) / jnp.sqrt(var + 1e-5)
+            scale = self.param("bn_scale", nn.initializers.ones, (mol.shape[-1],))
+            bias = self.param("bn_bias", nn.initializers.zeros, (mol.shape[-1],))
+            mol = mol * scale + bias
+        return mol * batch.graph_mask[:, None]
+
+
+@dataclass(frozen=True)
+class CombinedFeatureConfig:
+    """used_features grammar of the reference (adaptive_dkt.py:30-33)."""
+
+    used_features: str = "gnn+ecfp+fc"
+    graph_config: GraphFeatureExtractorConfig = field(default_factory=GraphFeatureExtractorConfig)
+    fc_out_dim: int = 2048
+    fc_hidden_dim: int = 2048
+    normalize_output: bool = False  # True for cossim kernels
+
+    @property
+    def use_gnn(self) -> bool:
+        return "gnn" in self.used_features
+
+    @property
+    def use_ecfp(self) -> bool:
+        return "ecfp" in self.used_features
+
+    @property
+    def use_descriptors(self) -> bool:
+        return "pc-descs" in self.used_features
+
+    @property
+    def use_fc(self) -> bool:
+        return self.used_features.endswith("+fc")
+
+    @property
+    def output_dim(self) -> int:
+        if self.use_fc:
+            return self.fc_out_dim
+        dim = 0
+        if self.use_gnn:
+            dim += self.graph_config.readout_config.output_dim
+        if self.use_ecfp:
+            dim += FINGERPRINT_DIM
+        if self.use_descriptors:
+            dim += DESCRIPTOR_DIM
+        return dim
+
+
+class CombinedFeatureExtractor(nn.Module):
+    """GNN ⊕ ECFP ⊕ descriptors -> optional FC head (adaptive_dkt.py:137-160)."""
+
+    config: CombinedFeatureConfig
+
+    @nn.compact
+    def __call__(self, batch: PackedGraphs, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        feats = []
+        if cfg.use_gnn:
+            feats.append(
+                GraphFeatureExtractor(cfg.graph_config, name="graph_feature_extractor")(
+                    batch, deterministic
+                )
+            )
+        if cfg.use_ecfp:
+            feats.append(batch.fingerprints)
+        if cfg.use_descriptors:
+            feats.append(batch.descriptors)
+        x = jnp.concatenate(feats, axis=1)
+        if cfg.use_fc:
+            x = nn.Dense(cfg.fc_hidden_dim, name="fc1")(x)
+            x = nn.relu(x)
+            x = nn.Dense(cfg.fc_out_dim, name="fc2")(x)
+        if cfg.normalize_output:
+            x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return x * batch.graph_mask[:, None]

@@ -1,0 +1,170 @@
+"""Host-side training loop for episodic meta-training.
+
+The equivalent of ADKTModelTrainer.train_loop (adaptive_dkt_utils.py:329-458)
+and its DKT sibling: stream episodes from the background reader, stack
+task batches, run the jitted mesh-sharded outer step, validate every
+`validate_every_num_steps` by full few-shot evaluation on the validation
+fold, and checkpoint the best model (best_validation/ + fully_trained/).
+
+Differences by design:
+  * episode packing happens in reader threads; the device only ever sees
+    static padded pytrees;
+  * the trainer supports mid-run resume (step counter + optimizer state
+    ride in the checkpoint) — the reference cannot resume (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from adkf_ift_tpu.data.dataset import DataFold, FSMolDataset
+from adkf_ift_tpu.data.episodes import Episode, EpisodeSpec, build_episode, stack_episodes
+from adkf_ift_tpu.data.samplers import SamplingException, StratifiedTaskSampler
+from adkf_ift_tpu.data.task import Task
+from adkf_ift_tpu.train.evaluation import is_valid_numeric_task
+from adkf_ift_tpu.train.meta import MetaTrainState
+from adkf_ift_tpu.utils.checkpoints import save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class TrainLoopConfig:
+    num_train_steps: int = 10000
+    tasks_per_batch: int = 16
+    support_set_size: int = 64
+    query_set_size: int = 256
+    validate_every_num_steps: int = 50
+    log_every_num_steps: int = 10
+    num_reader_workers: int = 4
+    nodes_per_graph: int = 48
+    edges_per_graph: int = 112
+
+
+def episode_stream(
+    dataset: FSMolDataset,
+    fold: DataFold,
+    spec: EpisodeSpec,
+    regression: bool = False,
+    repeat: bool = True,
+    num_workers: int = 4,
+    samples_per_task: int = 1,
+) -> Iterator[Episode]:
+    """Stream padded episodes from per-task files (the analogue of
+    get_dkt_task_sample_iterable, data/dkt.py:156-207)."""
+    sampler = StratifiedTaskSampler(
+        train_size_or_ratio=spec.support_size, test_size_or_ratio=spec.query_size
+    )
+
+    def reader_fn(paths, idx):
+        for path in paths:
+            try:
+                task = Task.load_from_file(path)
+            except Exception:  # noqa: BLE001
+                logger.exception("Unreadable task file %s", path)
+                continue
+            if regression and not is_valid_numeric_task(task):
+                continue
+            for k in range(samples_per_task):
+                try:
+                    sample = sampler.sample(task, seed=idx + k)
+                except (SamplingException, ValueError) as e:
+                    logger.debug("%s: sampling failed (%s)", task.name, e)
+                    continue
+                try:
+                    yield build_episode(sample, spec, regression=regression)
+                except Exception as e:  # noqa: BLE001 — budget overflows etc.
+                    logger.debug("%s: packing failed (%s)", task.name, e)
+
+    return iter(
+        dataset.get_task_reading_iterable(
+            fold, task_reader_fn=reader_fn, repeat=repeat, num_workers=num_workers
+        )
+    )
+
+
+def train_loop(
+    state: MetaTrainState,
+    step_fn: Callable,
+    dataset: FSMolDataset,
+    out_dir: str,
+    loop_config: TrainLoopConfig,
+    model_config,
+    validate_fn: Optional[Callable[[MetaTrainState], float]] = None,
+    regression: bool = False,
+    shard_batch: Optional[Callable] = None,
+    start_step: int = 0,
+) -> MetaTrainState:
+    """Run the outer loop; returns the final state. `validate_fn` maps a
+    train state to a scalar validation score (higher is better)."""
+    os.makedirs(out_dir, exist_ok=True)
+    spec = EpisodeSpec(
+        support_size=loop_config.support_set_size,
+        query_size=loop_config.query_set_size,
+        nodes_per_graph=loop_config.nodes_per_graph,
+        edges_per_graph=loop_config.edges_per_graph,
+    )
+    stream = episode_stream(
+        dataset,
+        DataFold.TRAIN,
+        spec,
+        regression=regression,
+        repeat=True,
+        num_workers=loop_config.num_reader_workers,
+    )
+
+    best_validation_score = -np.inf
+    save_checkpoint(os.path.join(out_dir, "best_validation"), model_config, state.params)
+
+    window_losses = []
+    t_window = time.perf_counter()
+    for step in range(start_step + 1, loop_config.num_train_steps + 1):
+        episodes = [next(stream) for _ in range(loop_config.tasks_per_batch)]
+        batch = stack_episodes(episodes)
+        if shard_batch is not None:
+            batch = shard_batch(batch)
+        state, losses = step_fn(state, batch)
+        # Per-sample reporting like the reference (task_loss / |query|).
+        window_losses.append(float(np.mean(np.asarray(losses))) / spec.query_size)
+
+        if step % loop_config.log_every_num_steps == 0:
+            dt = time.perf_counter() - t_window
+            logger.info(
+                "step %d/%d: loss %.4f (%.2f steps/s)",
+                step,
+                loop_config.num_train_steps,
+                float(np.mean(window_losses)),
+                len(window_losses) / max(dt, 1e-9),
+            )
+            window_losses = []
+            t_window = time.perf_counter()
+
+        if validate_fn is not None and step % loop_config.validate_every_num_steps == 0:
+            score = validate_fn(state)
+            logger.info("validated at step %d: %.4f", step, score)
+            if score > best_validation_score:
+                best_validation_score = score
+                save_checkpoint(
+                    os.path.join(out_dir, "best_validation"),
+                    model_config,
+                    state.params,
+                    opt_state=state.opt_state,
+                    step=step,
+                )
+                logger.info("new best model at step %d (%.4f)", step, score)
+
+    save_checkpoint(
+        os.path.join(out_dir, "fully_trained"),
+        model_config,
+        state.params,
+        opt_state=state.opt_state,
+        step=loop_config.num_train_steps,
+    )
+    return state

@@ -1,0 +1,101 @@
+"""Benchmark: ADKF-IFT outer-step throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: full ADKF-IFT outer steps/second at the reference's training
+configuration (16 tasks/batch, support 64, query 256, full-size
+GNN+ECFP+FC encoder, Matern-5/2 GP, L-BFGS inner fit, IFT hypergrad,
+Adam update) — the reference executes this as a sequential Python loop
+with per-task scipy L-BFGS-B fits (adaptive_dkt_utils.py:352-413).
+
+vs_baseline: ratio against the reference implementation's measured
+outer-step rate. BASELINE.md ships no throughput numbers, so we use a
+conservative literature/issue-report figure for the torch/GPyTorch
+reference on a single V100-class GPU: ~0.2 outer steps/s (>5 s/step:
+16 sequential tasks × [2 GNN fwd + scipy L-BFGS-B fit + dense Hessian +
+outer bwd]). Recorded in BASELINE.json's north-star as the metric to
+beat by >=10x.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_STEPS_PER_SEC = 0.2
+
+# Persistent compile cache (first bench run pays compile; later runs don't).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import numpy as np
+
+    from adkf_ift_tpu.data import EpisodeSpec, StratifiedTaskSampler, build_episode, stack_episodes
+    from adkf_ift_tpu.gp import LBFGSConfig
+    from adkf_ift_tpu.models import adkf
+    from adkf_ift_tpu.train.meta import init_train_state, make_meta_train_step, make_optimizer
+    from adkf_ift_tpu.utils.synthetic import make_task
+
+    tasks_per_batch = int(os.environ.get("BENCH_TASKS_PER_BATCH", "16"))
+    support = int(os.environ.get("BENCH_SUPPORT", "64"))
+    query = int(os.environ.get("BENCH_QUERY", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    config = adkf.ADKFModelConfig(
+        inner_optimizer=LBFGSConfig(max_iters=48, history=8),
+    )
+
+    spec = EpisodeSpec(support_size=support, query_size=query)
+    sampler = StratifiedTaskSampler(support, test_size_or_ratio=query)
+    episodes = []
+    for i in range(tasks_per_batch):
+        task = make_task(f"BENCH{i}", num_samples=support + query + 64, seed=i)
+        episodes.append(build_episode(sampler.sample(task, seed=i), spec))
+    batch = stack_episodes(episodes)
+
+    params = adkf.init_encoder_params(config, jax.random.PRNGKey(0), episodes[0].support)
+    optimizer = make_optimizer(1e-4, clip_value=1.0)
+    state = init_train_state(params, optimizer)
+    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "2"))
+    step_fn = make_meta_train_step(
+        lambda p, e: adkf.episode_outer_loss(config, p, e),
+        optimizer,
+        task_chunk=task_chunk,
+    )
+
+    batch = jax.device_put(batch)
+    # Warmup/compile.
+    state, losses = step_fn(state, batch)
+    jax.block_until_ready(state)
+
+    # Block on the FULL state every step: under the remote-TPU tunnel a
+    # single trailing block on `losses` under-reports multi-step chains.
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = step_fn(state, batch)
+        jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "adkf_ift_outer_steps_per_sec",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s (16 tasks x support 64 x query 256, full encoder)",
+                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

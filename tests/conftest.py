@@ -29,3 +29,10 @@ try:
 except RuntimeError:
     pass
 
+# Persistent compilation cache: model-level tests compile sizable graphs;
+# cache them across pytest runs.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
