@@ -1,0 +1,286 @@
+"""Shared machinery for episodic train / test / walltime CLIs.
+
+The reference repeats this structure per model family ({model}_train.py,
+{model}_test.py, {model}_walltime.py + *ModelTrainer classes); here the
+per-model CLIs are thin wrappers over these runners.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import time
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from adkf_ift_tpu.data.dataset import DataFold, FSMolDataset
+from adkf_ift_tpu.data.episodes import EpisodeSpec, build_episode
+from adkf_ift_tpu.data.samplers import SamplingException, StratifiedTaskSampler
+from adkf_ift_tpu.train.evaluation import eval_model
+from adkf_ift_tpu.train.evaluators import bind_evaluator, make_predict_fn
+from adkf_ift_tpu.train.loop import TrainLoopConfig, episode_stream, train_loop
+from adkf_ift_tpu.train.meta import init_train_state, make_meta_train_step, make_optimizer
+from adkf_ift_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def add_episodic_train_args(parser: argparse.ArgumentParser, defaults=None) -> None:
+    d = defaults or {}
+    parser.add_argument("--support_set_size", type=int, default=d.get("support", 64))
+    parser.add_argument("--query_set_size", type=int, default=d.get("query", 256))
+    parser.add_argument("--tasks_per_batch", type=int, default=d.get("tasks_per_batch", 16))
+    parser.add_argument("--num_train_steps", type=int, default=d.get("steps", 10000))
+    parser.add_argument("--lr", type=float, default=d.get("lr", 1e-4), help="Learning rate")
+    parser.add_argument("--clip_value", type=float, default=d.get("clip", 1.0))
+    parser.add_argument("--validate-every", type=int, default=50)
+    parser.add_argument(
+        "--validation-support-set-sizes", type=lambda s: [int(x) for x in s.strip("[]").split(",")],
+        default=d.get("val_support", [16, 64]),
+    )
+    parser.add_argument("--validation-query-set-size", type=int, default=256)
+    parser.add_argument("--validation-num-samples", type=int, default=5)
+    parser.add_argument(
+        "--task-chunk", type=int, default=d.get("task_chunk", 2),
+        help="Tasks per gradient-accumulation chunk (memory/throughput knob).",
+    )
+    parser.add_argument("--num-reader-workers", type=int, default=4)
+
+
+def make_validation_fn(
+    kind: str,
+    config,
+    dataset: FSMolDataset,
+    support_sizes: List[int],
+    query_budget: int,
+    num_samples: int,
+    regression: bool,
+):
+    """Few-shot eval on the validation fold -> scalar score (mean
+    delta-AUPRC for classification, mean R2 for regression); the
+    reference's validate_by_finetuning_on_tasks (adaptive_dkt_utils.py:178-211)."""
+    predict = make_predict_fn(kind, config, regression)
+
+    def validate(state) -> float:
+        evaluator = bind_evaluator(predict, state.params, regression)
+        results = eval_model(
+            evaluator,
+            dataset,
+            support_sizes=support_sizes,
+            num_samples=num_samples,
+            fold=DataFold.VALIDATION,
+            filter_numeric_labels=regression,
+            query_budget=query_budget,
+        )
+        scores = []
+        for task_results in results.values():
+            for r in task_results:
+                if regression:
+                    scores.append(r.r2)
+                else:
+                    scores.append(r.avg_precision - r.fraction_pos_test)
+        return float(np.mean(scores)) if scores else -np.inf
+    return validate
+
+
+def run_episodic_training(
+    kind: str,
+    config,
+    init_params_fn: Callable,
+    episode_loss_fn: Callable,
+    args: argparse.Namespace,
+    out_dir: str,
+    dataset: FSMolDataset,
+    regression: bool = False,
+    optimizer=None,
+    optimizer_factory: Optional[Callable] = None,
+):
+    """Wire the full meta-training stack and run it. `optimizer_factory`
+    maps initialized params to an optax transformation (for param-group
+    optimizers like MAML's)."""
+    loop_cfg = TrainLoopConfig(
+        num_train_steps=args.num_train_steps,
+        tasks_per_batch=args.tasks_per_batch,
+        support_set_size=args.support_set_size,
+        query_set_size=args.query_set_size,
+        validate_every_num_steps=args.validate_every,
+        num_reader_workers=args.num_reader_workers,
+    )
+    spec = EpisodeSpec(
+        support_size=loop_cfg.support_set_size, query_size=loop_cfg.query_set_size
+    )
+    # Init params from the first train episode's shapes.
+    probe = next(
+        episode_stream(dataset, DataFold.TRAIN, spec, regression=regression, repeat=True, num_workers=0)
+    )
+    params = init_params_fn(config, jax.random.PRNGKey(args.seed), probe)
+
+    if optimizer_factory is not None:
+        optimizer = optimizer_factory(params)
+    optimizer = optimizer or make_optimizer(args.lr, clip_value=args.clip_value)
+    step_fn = make_meta_train_step(
+        lambda p, e: episode_loss_fn(config, p, e),
+        optimizer,
+        task_chunk=args.task_chunk,
+    )
+    state = init_train_state(params, optimizer)
+
+    validate_fn = None
+    if dataset.get_num_fold_tasks(DataFold.VALIDATION) > 0:
+        validate_fn = make_validation_fn(
+            kind,
+            config,
+            dataset,
+            support_sizes=args.validation_support_set_sizes,
+            query_budget=args.validation_query_set_size,
+            num_samples=args.validation_num_samples,
+            regression=regression,
+        )
+
+    return train_loop(
+        state,
+        step_fn,
+        dataset,
+        out_dir,
+        loop_cfg,
+        config,
+        validate_fn=validate_fn,
+        regression=regression,
+    )
+
+
+def add_episodic_test_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "TRAINED_MODEL",
+        type=str,
+        nargs="?",
+        default=None,
+        help="Checkpoint directory of the trained model (omit with --use-fresh-param-init).",
+    )
+    parser.add_argument(
+        "--use-fresh-param-init",
+        action="store_true",
+        help="Do not load a trained model; use fresh random init (control).",
+    )
+    parser.add_argument("--query-budget", type=int, default=256)
+
+
+def run_episodic_test(
+    kind: str,
+    args: argparse.Namespace,
+    out_dir: str,
+    dataset: FSMolDataset,
+    default_config=None,
+    init_params_fn: Optional[Callable] = None,
+    regression: bool = False,
+):
+    """Load checkpoint (or fresh init), evaluate over the test fold with
+    the reference protocol, write per-task CSVs."""
+    if args.TRAINED_MODEL is not None and not args.use_fresh_param_init:
+        config, params, _, _ = load_checkpoint(args.TRAINED_MODEL)
+    else:
+        if default_config is None:
+            raise ValueError("need TRAINED_MODEL or a default config for fresh init")
+        config = default_config
+        params = None
+        if init_params_fn is not None:
+            spec = EpisodeSpec(support_size=args.train_sizes[0], query_size=args.query_budget)
+            probe_task = _first_task(dataset, DataFold.TEST)
+            sampler = StratifiedTaskSampler(
+                args.train_sizes[0], test_size_or_ratio=args.query_budget, allow_smaller_test=True
+            )
+            sample = sampler.sample(probe_task, seed=args.seed)
+            probe = build_episode(sample, spec, regression=regression)
+            params = init_params_fn(config, jax.random.PRNGKey(args.seed), probe)
+
+    predict = make_predict_fn(kind, config, regression)
+    evaluator = bind_evaluator(predict, params, regression)
+    results = eval_model(
+        evaluator,
+        dataset,
+        support_sizes=args.train_sizes,
+        num_samples=args.num_runs,
+        test_size_or_ratio=args.test_size,
+        out_dir=out_dir,
+        seed=args.seed,
+        filter_numeric_labels=regression,
+        query_budget=args.query_budget,
+    )
+    _log_aggregate(results, regression)
+    return results
+
+
+def run_episodic_walltime(
+    kind: str,
+    args: argparse.Namespace,
+    out_dir: str,
+    dataset: FSMolDataset,
+    regression: bool = False,
+):
+    """Per-episode adaptation walltime (reference *_walltime.py:100-115):
+    time test_model_fn per task sample, write a CSV of seconds. The first
+    (compile) episode is reported separately from steady-state."""
+    import csv
+    import os
+
+    config, params, _, _ = load_checkpoint(args.TRAINED_MODEL)
+    predict = make_predict_fn(kind, config, regression)
+    evaluator = bind_evaluator(predict, params, regression)
+
+    rows = []
+    for task in dataset.get_task_reading_iterable(DataFold.TEST):
+        for train_size in args.train_sizes:
+            sampler = StratifiedTaskSampler(
+                train_size_or_ratio=train_size,
+                test_size_or_ratio=args.test_size,
+                allow_smaller_test=True,
+            )
+            for run_idx in range(args.num_runs):
+                try:
+                    sample = sampler.sample(task, seed=args.seed + run_idx)
+                except (SamplingException, ValueError):
+                    continue
+                spec = EpisodeSpec(support_size=train_size, query_size=args.query_budget)
+                n = min(len(sample.test_samples), spec.query_size)
+                episode = build_episode(
+                    dataclasses.replace(sample, test_samples=sample.test_samples[:n]),
+                    spec,
+                    regression=regression,
+                )
+                t0 = time.perf_counter()
+                preds, _ = evaluator(episode, args.seed + run_idx)
+                np.asarray(preds)
+                rows.append(
+                    {"task": task.name, "train_size": train_size, "run": run_idx,
+                     "walltime_s": time.perf_counter() - t0}
+                )
+    path = os.path.join(out_dir, f"{kind}_walltimes.csv")
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["task", "train_size", "run", "walltime_s"])
+        writer.writeheader()
+        writer.writerows(rows)
+    steady = [r["walltime_s"] for r in rows[1:]] or [r["walltime_s"] for r in rows]
+    logger.info(
+        "walltime: %d episodes, first (incl. compile) %.3fs, steady median %.4fs",
+        len(rows), rows[0]["walltime_s"] if rows else float("nan"), float(np.median(steady)),
+    )
+    return rows
+
+
+def _first_task(dataset: FSMolDataset, fold: DataFold):
+    for task in dataset.get_task_reading_iterable(fold):
+        return task
+    raise ValueError(f"no tasks in fold {fold}")
+
+
+def _log_aggregate(results, regression: bool) -> None:
+    scores = []
+    for task_results in results.values():
+        for r in task_results:
+            scores.append(r.r2 if regression else r.avg_precision - r.fraction_pos_test)
+    if scores:
+        name = "R2" if regression else "delta AUPRC"
+        logger.info("mean %s over %d episodes: %.4f", name, len(scores), float(np.mean(scores)))

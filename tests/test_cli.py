@@ -1,0 +1,111 @@
+"""CLI smoke tests: each entry point runs end-to-end on a tiny synthetic
+dataset directory (train -> checkpoint -> test -> CSVs)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from adkf_ift_tpu.utils.synthetic import make_dataset_dir
+
+TINY_ENCODER_FLAGS = [
+    "--num-gnn-layers", "2", "--gnn-hidden-dim", "32", "--num-heads", "2",
+    "--per-head-dim", "8", "--intermediate-dim", "64", "--readout-num-heads", "2",
+    "--readout-head-dim", "8", "--readout-dim", "16", "--fc-out-dim", "32",
+    "--fc-hidden-dim", "32",
+]
+TINY_TRAIN_FLAGS = [
+    "--support_set_size", "16", "--query_set_size", "32", "--tasks_per_batch", "2",
+    "--num_train_steps", "3", "--validate-every", "2", "--task-chunk", "2",
+    "--validation-support-set-sizes", "[16]", "--validation-num-samples", "1",
+    "--validation-query-set-size", "32", "--num-reader-workers", "0",
+]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fsmol")
+    return make_dataset_dir(str(root), num_train=3, num_valid=1, num_test=1, samples_per_task=96)
+
+
+def _latest_ckpt(save_dir, which="fully_trained"):
+    runs = sorted(glob.glob(os.path.join(save_dir, "FSMol_train_*")))
+    assert runs, f"no training run dirs in {save_dir}"
+    ckpt = os.path.join(runs[-1], which)
+    assert os.path.isdir(ckpt)
+    return ckpt
+
+
+def _assert_eval_csvs(save_dir):
+    runs = sorted(glob.glob(os.path.join(save_dir, "FSMol_eval_*")))
+    csvs = glob.glob(os.path.join(runs[-1], "*_eval_results.csv"))
+    assert csvs, "no per-task eval CSVs written"
+    return csvs
+
+
+def test_dkt_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import dkt_test, dkt_train
+
+    save = str(tmp_path / "out")
+    dkt_train.main([data_root, "--save-dir", save, "--lr", "1e-3"]
+                   + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    dkt_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                   "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_adkf_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import adkf_test, adkf_train
+
+    save = str(tmp_path / "out")
+    adkf_train.main([data_root, "--save-dir", save, "--inner-max-iters", "8"]
+                    + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    adkf_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                    "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_gpst_test_cli(data_root, tmp_path):
+    from adkf_ift_tpu.cli import gpst_test
+
+    save = str(tmp_path / "out")
+    gpst_test.main([data_root, "--save-dir", save, "--num-runs", "1",
+                    "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_baseline_test_cli(data_root, tmp_path):
+    from adkf_ift_tpu.cli import baseline_test
+
+    save = str(tmp_path / "out")
+    baseline_test.main(["--model", "kNN", data_root, "--save-dir", save,
+                        "--num-runs", "1", "--train-sizes", "[16]"])
+    _assert_eval_csvs(save)
+
+
+def test_multitask_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import multitask_test, multitask_train
+
+    save = str(tmp_path / "out")
+    multitask_train.main([data_root, "--save-dir", save, "--batch_size", "32",
+                          "--num_train_steps", "3"] + TINY_ENCODER_FLAGS)
+    ckpt = _latest_ckpt(save)
+    multitask_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                         "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_compute_stats_cli(data_root, tmp_path):
+    from adkf_ift_tpu.cli import compute_stats
+
+    out = str(tmp_path / "stats.json")
+    compute_stats.main([data_root, out])
+    with open(out) as f:
+        stats = json.load(f)
+    assert stats["train"]["num_tasks"] == 3
+    assert stats["test"]["num_tasks"] == 1
+    assert stats["num_unique_molecules"] > 0
