@@ -26,7 +26,7 @@ Everything returned is a pytree of numpy arrays ready for device_put.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -44,23 +44,42 @@ class EpisodeOverflowError(Exception):
     """A sample set exceeded the node/edge budget of its EpisodeSpec."""
 
 
+# Per-edge-type budgets (bidirectional slots per graph). Molecular graphs
+# are dominated by single bonds; giving double/triple bonds the same
+# budget as single bonds (as a naive [T, E] layout would) wastes ~2.6x
+# edge compute in the message-passing hot loop.
+DEFAULT_EDGES_PER_GRAPH: Tuple[int, int, int] = (80, 32, 16)
+
+
+def _edge_budget_tuple(edges_per_graph) -> Tuple[int, ...]:
+    if isinstance(edges_per_graph, int):
+        return (edges_per_graph,) * NUM_EDGE_TYPES
+    return tuple(edges_per_graph)
+
+
 @dataclass(frozen=True)
 class GraphPadSpec:
     """Static pad sizes for one packed graph set."""
 
     num_graphs: int
     node_budget: int
-    edge_budget: int  # per edge type, bidirectional slots
+    edge_budgets: Tuple[int, ...]  # per edge type, bidirectional slots
 
     @staticmethod
-    def for_graphs(num_graphs: int, nodes_per_graph: int = 48, edges_per_graph: int = 112) -> "GraphPadSpec":
+    def for_graphs(
+        num_graphs: int,
+        nodes_per_graph: int = 48,
+        edges_per_graph=DEFAULT_EDGES_PER_GRAPH,
+    ) -> "GraphPadSpec":
         def _round(x, m=128):
             return ((x + m - 1) // m) * m
 
         return GraphPadSpec(
             num_graphs=num_graphs,
             node_budget=_round(num_graphs * nodes_per_graph),
-            edge_budget=_round(num_graphs * edges_per_graph),
+            edge_budgets=tuple(
+                _round(num_graphs * e) for e in _edge_budget_tuple(edges_per_graph)
+            ),
         )
 
 
@@ -71,7 +90,7 @@ class EpisodeSpec:
     support_size: int
     query_size: int
     nodes_per_graph: int = 48
-    edges_per_graph: int = 112
+    edges_per_graph: Tuple[int, ...] = DEFAULT_EDGES_PER_GRAPH
 
     @property
     def support_pad(self) -> GraphPadSpec:
@@ -88,10 +107,11 @@ class PackedGraphs(NamedTuple):
     node_features: [node_budget, NUM_NODE_FEATURES] f32
     node_to_graph: [node_budget] i32 — padding nodes get id num_graphs.
     node_mask: [node_budget] f32
-    edge_sources/edge_targets: [NUM_EDGE_TYPES, edge_budget] i32 —
-        bidirectional; padding edges point at node node_budget-1 of the
-        dummy region with mask 0.
-    edge_mask: [NUM_EDGE_TYPES, edge_budget] f32
+    edge_sources/edge_targets: per-edge-type tuples of [edge_budget_t]
+        i32 — bidirectional; the budgets differ per type (single bonds
+        dominate molecules). Padding edges point at node node_budget-1
+        of the dummy region with mask 0.
+    edge_mask: per-type tuple of [edge_budget_t] f32
     fingerprints: [num_graphs, FINGERPRINT_DIM] f32
     descriptors: [num_graphs, DESCRIPTOR_DIM] f32
     graph_mask: [num_graphs] f32
@@ -100,9 +120,9 @@ class PackedGraphs(NamedTuple):
     node_features: np.ndarray
     node_to_graph: np.ndarray
     node_mask: np.ndarray
-    edge_sources: np.ndarray
-    edge_targets: np.ndarray
-    edge_mask: np.ndarray
+    edge_sources: Tuple[np.ndarray, ...]
+    edge_targets: Tuple[np.ndarray, ...]
+    edge_mask: Tuple[np.ndarray, ...]
     fingerprints: np.ndarray
     descriptors: np.ndarray
     graph_mask: np.ndarray
@@ -139,9 +159,9 @@ def pack_graphs(samples: List[MoleculeDatapoint], spec: GraphPadSpec) -> PackedG
     # Padding edges self-loop on the last (dummy) node slot so gathers stay
     # in bounds and scatters land in masked territory.
     dummy = spec.node_budget - 1
-    edge_sources = np.full((NUM_EDGE_TYPES, spec.edge_budget), dummy, np.int32)
-    edge_targets = np.full((NUM_EDGE_TYPES, spec.edge_budget), dummy, np.int32)
-    edge_mask = np.zeros((NUM_EDGE_TYPES, spec.edge_budget), np.float32)
+    edge_sources = [np.full((b,), dummy, np.int32) for b in spec.edge_budgets]
+    edge_targets = [np.full((b,), dummy, np.int32) for b in spec.edge_budgets]
+    edge_mask = [np.zeros((b,), np.float32) for b in spec.edge_budgets]
     fingerprints = np.zeros((g, FINGERPRINT_DIM), np.float32)
     descriptors = np.zeros((g, DESCRIPTOR_DIM), np.float32)
     graph_mask = np.zeros((g,), np.float32)
@@ -164,18 +184,18 @@ def pack_graphs(samples: List[MoleculeDatapoint], spec: GraphPadSpec) -> PackedG
             if e == 0:
                 continue
             eo = edge_offsets[t]
-            if eo + 2 * e > spec.edge_budget:
+            if eo + 2 * e > spec.edge_budgets[t]:
                 raise EpisodeOverflowError(
-                    f"edge budget {spec.edge_budget} (type {t}) exceeded at graph {gi}"
+                    f"edge budget {spec.edge_budgets[t]} (type {t}) exceeded at graph {gi}"
                 )
             src = adj[:, 0].astype(np.int32) + node_offset
             tgt = adj[:, 1].astype(np.int32) + node_offset
             # Both directions at pack time (reference flips per forward).
-            edge_sources[t, eo : eo + e] = src
-            edge_targets[t, eo : eo + e] = tgt
-            edge_sources[t, eo + e : eo + 2 * e] = tgt
-            edge_targets[t, eo + e : eo + 2 * e] = src
-            edge_mask[t, eo : eo + 2 * e] = 1.0
+            edge_sources[t][eo : eo + e] = src
+            edge_targets[t][eo : eo + e] = tgt
+            edge_sources[t][eo + e : eo + 2 * e] = tgt
+            edge_targets[t][eo + e : eo + 2 * e] = src
+            edge_mask[t][eo : eo + 2 * e] = 1.0
             edge_offsets[t] = eo + 2 * e
 
         fp = sample.fingerprint
@@ -191,9 +211,9 @@ def pack_graphs(samples: List[MoleculeDatapoint], spec: GraphPadSpec) -> PackedG
         node_features=node_features,
         node_to_graph=node_to_graph,
         node_mask=node_mask,
-        edge_sources=edge_sources,
-        edge_targets=edge_targets,
-        edge_mask=edge_mask,
+        edge_sources=tuple(edge_sources),
+        edge_targets=tuple(edge_targets),
+        edge_mask=tuple(edge_mask),
         fingerprints=fingerprints,
         descriptors=descriptors,
         graph_mask=graph_mask,

@@ -131,9 +131,13 @@ class CombinedFeatureExtractor(nn.Module):
             feats.append(batch.descriptors)
         x = jnp.concatenate(feats, axis=1)
         if cfg.use_fc:
-            x = nn.Dense(cfg.fc_hidden_dim, name="fc1")(x)
+            # Hidden layer in the GNN's compute dtype; final projection in
+            # f32 — its output feeds the GP's distance computations.
+            x = nn.Dense(
+                cfg.fc_hidden_dim, dtype=cfg.graph_config.gnn_config.compute_dtype, name="fc1"
+            )(x)
             x = nn.relu(x)
-            x = nn.Dense(cfg.fc_out_dim, name="fc2")(x)
+            x = nn.Dense(cfg.fc_out_dim, dtype=jnp.float32, name="fc2")(x)
         if cfg.normalize_output:
             x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return x * batch.graph_mask[:, None]

@@ -57,6 +57,15 @@ class GNNConfig:
     num_layers: int = 8
     dropout_rate: float = 0.0
     use_rezero_scaling: bool = True
+    # TPU performance knobs: bf16 compute (params stay f32; the GP head
+    # downstream is always f32) and per-block rematerialization so large
+    # task batches fit HBM (backward recomputes each block's activations).
+    dtype: str = "bfloat16"
+    remat_blocks: bool = True
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
 
 
 class EdgeTypeMLP(nn.Module):
@@ -67,10 +76,11 @@ class EdgeTypeMLP(nn.Module):
     in_dim: int
     out_dim: int
     depth: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [E, towers, in]
-        h = x
+        h = x.astype(self.dtype)
         dims = [2 * (self.in_dim // 2)] * (self.depth - 1) + [self.out_dim]
         for li, out in enumerate(dims):
             w = self.param(
@@ -80,7 +90,7 @@ class EdgeTypeMLP(nn.Module):
                 jnp.float32,
             )
             b = self.param(f"b{li}", nn.initializers.zeros, (self.num_towers, out), jnp.float32)
-            h = jnp.einsum("eti,tio->eto", h, w) + b
+            h = jnp.einsum("eti,tio->eto", h, w.astype(self.dtype)) + b.astype(self.dtype)
             if li < len(dims) - 1:
                 h = nn.relu(h)
         return h
@@ -136,13 +146,14 @@ class RelationalMP(nn.Module):
                 in_dim=2 * tower_dim,
                 out_dim=self._message_dim(),
                 depth=cfg.message_function_depth,
+                dtype=cfg.compute_dtype,
                 name=f"message_fn_type{t}",
             )(pairs)
             per_type_msgs.append(nn.relu(msgs))
 
-        all_msgs = jnp.concatenate(per_type_msgs, axis=0)  # [T*E, towers, msg]
-        all_tgts = edge_targets.reshape(-1)
-        all_mask = edge_mask.reshape(-1)
+        all_msgs = jnp.concatenate(per_type_msgs, axis=0)  # [sum(E_t), towers, msg]
+        all_tgts = jnp.concatenate(edge_targets)
+        all_mask = jnp.concatenate(edge_mask)
         agg = self.aggregate(all_msgs, all_tgts, all_mask, num_nodes)
         return agg.reshape(num_nodes, -1)  # [V, towers * message_size]
 
@@ -225,22 +236,23 @@ class RelationalMultiHeadAttentionMP(nn.Module):
                 in_dim=2 * cfg.hidden_dim,
                 out_dim=h * d,
                 depth=cfg.message_function_depth,
+                dtype=cfg.compute_dtype,
                 name=f"message_fn_type{t}",
             )(pair)[:, 0, :]
             msgs = nn.relu(msgs).reshape(-1, h, d)
 
-            q = nn.Dense(h * d, use_bias=False, name=f"query_proj_type{t}")(x_tgt) * scale
-            k = nn.Dense(h * d, use_bias=False, name=f"key_proj_type{t}")(x_src)
+            q = nn.Dense(h * d, use_bias=False, dtype=cfg.compute_dtype, name=f"query_proj_type{t}")(x_tgt) * scale
+            k = nn.Dense(h * d, use_bias=False, dtype=cfg.compute_dtype, name=f"key_proj_type{t}")(x_src)
             scores = jnp.einsum(
                 "ehd,ehd->eh", q.reshape(-1, h, d), k.reshape(-1, h, d)
-            )
+            ).astype(jnp.float32)  # f32 softmax scores
             msgs_list.append(msgs)
             scores_list.append(scores)
 
-        all_msgs = jnp.concatenate(msgs_list, axis=0)  # [TE, h, d]
-        all_scores = jnp.concatenate(scores_list, axis=0)  # [TE, h]
-        all_tgts = edge_targets.reshape(-1)
-        all_mask = edge_mask.reshape(-1)
+        all_msgs = jnp.concatenate(msgs_list, axis=0)  # [sum(E_t), h, d]
+        all_scores = jnp.concatenate(scores_list, axis=0)  # [sum(E_t), h]
+        all_tgts = jnp.concatenate(edge_targets)
+        all_mask = jnp.concatenate(edge_mask)
 
         probs = segment_softmax(all_scores, all_tgts, num_nodes, all_mask)
         weighted = probs[..., None] * all_msgs
@@ -255,13 +267,14 @@ class BOOMLayer(nn.Module):
     inout_dim: int
     intermediate_dim: int
     dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.intermediate_dim, name="linear1")(x)
+        h = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="linear1")(x)
         h = nn.leaky_relu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        return nn.Dense(self.inout_dim, name="linear2")(h)
+        return nn.Dense(self.inout_dim, dtype=self.dtype, name="linear2")(h)
 
 
 class GNNBlock(nn.Module):
@@ -284,21 +297,24 @@ class GNNBlock(nn.Module):
             raise ValueError(f"Unknown GNN type {cfg.type}")
 
         aggregated = mp(x, edge_sources, edge_targets, edge_mask)
-        new = nn.Dense(cfg.hidden_dim, name="msg_out_projection")(aggregated)
+        new = nn.Dense(cfg.hidden_dim, dtype=cfg.compute_dtype, name="msg_out_projection")(aggregated)
         new = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(new)
         if cfg.use_rezero_scaling:
             alpha = self.param("alpha", nn.initializers.constant(SMALL_NUMBER), (1,), jnp.float32)
             new = alpha * new
-        x = x + new
+        # Residual stream stays f32 (bf16 residual accumulation over many
+        # ReZero'd layers loses the small updates early in training).
+        x = x + new.astype(jnp.float32)
 
         if cfg.intermediate_dim > 0:
             boomed = BOOMLayer(
-                cfg.hidden_dim, cfg.intermediate_dim, cfg.dropout_rate, name="boom"
+                cfg.hidden_dim, cfg.intermediate_dim, cfg.dropout_rate,
+                dtype=cfg.compute_dtype, name="boom",
             )(nn.LayerNorm(name="boom_norm")(x), deterministic=deterministic)
             boomed = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(boomed)
             if cfg.use_rezero_scaling:
                 boomed = alpha * boomed
-            x = x + boomed
+            x = x + boomed.astype(jnp.float32)
         return x
 
 
@@ -319,8 +335,14 @@ class GNN(nn.Module):
     ) -> List[jnp.ndarray]:
         states = [node_features]
         x = node_features
+        block_cls = GNNBlock
+        if self.config.remat_blocks:
+            # Per-block rematerialization: backward recomputes each block's
+            # internals, so peak memory holds one block's activations
+            # instead of num_layers of them (deterministic flag is static).
+            block_cls = nn.remat(GNNBlock, static_argnums=(5,))
         for i in range(self.config.num_layers):
-            x = GNNBlock(self.config, name=f"block{i}")(
+            x = block_cls(self.config, name=f"block{i}")(
                 x, edge_sources, edge_targets, edge_mask, deterministic
             )
             states.append(x)

@@ -34,6 +34,11 @@ class GraphReadoutConfig:
     num_heads: int = 12
     head_dim: int = 64
     output_dim: int = 512
+    dtype: str = "bfloat16"  # compute dtype; params and outputs stay f32
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
 
 
 class MLP(nn.Module):
@@ -41,12 +46,13 @@ class MLP(nn.Module):
 
     hidden_dims: tuple
     out_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.hidden_dims):
-            x = nn.relu(nn.Dense(d, name=f"hidden{i}")(x))
-        return nn.Dense(self.out_dim, name="out")(x)
+            x = nn.relu(nn.Dense(d, dtype=self.dtype, name=f"hidden{i}")(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(x)
 
 
 class MultiHeadWeightedReadout(nn.Module):
@@ -57,20 +63,29 @@ class MultiHeadWeightedReadout(nn.Module):
     head_dim: int
     weighting_type: Literal["weighted_sum", "weighted_mean"]
     num_mlp_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, node_embeddings, node_to_graph, node_mask, num_graphs):
         hidden = (self.head_dim * self.num_heads,) * self.num_mlp_layers
-        scores = MLP(hidden, self.num_heads, name="scoring")(node_embeddings)  # [V, H]
+        # Scores in f32 (softmax/sigmoid weighting), values in compute dtype.
+        scores = MLP(hidden, self.num_heads, dtype=self.dtype, name="scoring")(
+            node_embeddings
+        ).astype(jnp.float32)
         if self.weighting_type == "weighted_sum":
             weights = nn.sigmoid(scores)
         else:
             weights = segment_softmax(scores, node_to_graph, num_graphs + 1, node_mask)
 
-        values = MLP(hidden, self.num_heads * self.head_dim, name="transform")(node_embeddings)
+        values = MLP(hidden, self.num_heads * self.head_dim, dtype=self.dtype, name="transform")(node_embeddings)
         values = values.reshape(-1, self.num_heads, self.head_dim)
-        weighted = (weights[..., None] * values).reshape(-1, self.num_heads * self.head_dim)
-        pooled = segment_sum(weighted, node_to_graph, num_graphs + 1, node_mask)[:num_graphs]
+        weighted = (weights[..., None].astype(values.dtype) * values).reshape(
+            -1, self.num_heads * self.head_dim
+        )
+        # Pool in f32: graphs sum over up to dozens of nodes.
+        pooled = segment_sum(
+            weighted.astype(jnp.float32), node_to_graph, num_graphs + 1, node_mask
+        )[:num_graphs]
         return nn.Dense(self.out_dim, use_bias=False, name="combination")(pooled)
 
 
@@ -100,13 +115,17 @@ class CombinedReadout(nn.Module):
     num_heads: int
     head_dim: int
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, node_embeddings, node_to_graph, node_mask, num_graphs):
         mean_repr = MultiHeadWeightedReadout(
-            self.out_dim, self.num_heads, self.head_dim, "weighted_mean", name="weighted_mean"
+            self.out_dim, self.num_heads, self.head_dim, "weighted_mean",
+            dtype=self.dtype, name="weighted_mean",
         )(node_embeddings, node_to_graph, node_mask, num_graphs)
         sum_repr = MultiHeadWeightedReadout(
-            self.out_dim, self.num_heads, self.head_dim, "weighted_sum", name="weighted_sum"
+            self.out_dim, self.num_heads, self.head_dim, "weighted_sum",
+            dtype=self.dtype, name="weighted_sum",
         )(node_embeddings, node_to_graph, node_mask, num_graphs)
         max_repr = UnweightedReadout(self.out_dim, "max", name="max_pool")(
             node_embeddings, node_to_graph, node_mask, num_graphs
@@ -118,9 +137,13 @@ class CombinedReadout(nn.Module):
 def make_readout(config: GraphReadoutConfig, name: str = "readout") -> nn.Module:
     """Factory mirroring make_readout_model (graph_readout.py:299-323)."""
     if config.readout_type.startswith("combined"):
-        return CombinedReadout(config.output_dim, config.num_heads, config.head_dim, name=name)
+        return CombinedReadout(
+            config.output_dim, config.num_heads, config.head_dim,
+            dtype=config.compute_dtype, name=name,
+        )
     if "weighted" in config.readout_type:
         return MultiHeadWeightedReadout(
-            config.output_dim, config.num_heads, config.head_dim, config.readout_type, name=name
+            config.output_dim, config.num_heads, config.head_dim, config.readout_type,
+            dtype=config.compute_dtype, name=name,
         )
     return UnweightedReadout(config.output_dim, config.readout_type, name=name)

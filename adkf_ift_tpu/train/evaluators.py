@@ -22,7 +22,7 @@ import numpy as np
 
 from adkf_ift_tpu.data.episodes import Episode
 
-MODEL_KINDS = ("adkf", "dkt", "dkl", "gpst", "protonet", "cnp", "maml", "multitask")
+MODEL_KINDS = ("adkf", "adkf_vgp", "dkt", "dkl", "gpst", "protonet", "cnp", "maml", "multitask")
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -39,6 +39,11 @@ def make_predict_fn(kind: str, config, regression: bool = False) -> Callable:
     if kind == "adkf":
         raw = lambda p, e: adkf.episode_predict(config, p, e).mean
         gp = True
+    elif kind == "adkf_vgp":
+        from adkf_ift_tpu.models import adkf_vgp
+
+        raw = lambda p, e: adkf_vgp.episode_predict(config, p, e).probs
+        gp = False
     elif kind == "dkt":
         raw = lambda p, e: dkt.episode_predict(config, p, e).mean
         gp = True

@@ -97,7 +97,7 @@ def test_pack_graphs_structure():
 def test_pack_overflow_raises():
     task = make_task(num_samples=16, seed=6)
     with pytest.raises(EpisodeOverflowError):
-        pack_graphs(task.samples, GraphPadSpec(num_graphs=16, node_budget=32, edge_budget=64))
+        pack_graphs(task.samples, GraphPadSpec(num_graphs=16, node_budget=32, edge_budgets=(64, 64, 64)))
 
 
 def test_build_episode_classification_labels():
