@@ -72,16 +72,18 @@ def main():
     )
 
     batch = jax.device_put(batch)
-    # Warmup/compile.
-    state, losses = step_fn(state, batch)
-    jax.block_until_ready(state)
+    # Warmup/compile. NOTE: jax.block_until_ready under-reports through
+    # the remote-TPU tunnel; a device->host copy (np.asarray) is the only
+    # honest synchronization, so every timed step round-trips the losses.
+    import numpy as np
 
-    # Block on the FULL state every step: under the remote-TPU tunnel a
-    # single trailing block on `losses` under-reports multi-step chains.
+    state, losses = step_fn(state, batch)
+    float(np.mean(np.asarray(losses)))
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state, losses = step_fn(state, batch)
-        jax.block_until_ready(state)
+        float(np.mean(np.asarray(losses)))
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = steps / elapsed
