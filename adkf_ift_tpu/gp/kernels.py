@@ -143,18 +143,22 @@ def kernel_matrix(
     return outputscale * base
 
 
-def median_lengthscale_init(x: jnp.ndarray) -> jnp.ndarray:
+def median_lengthscale_init(x: jnp.ndarray, mask: jnp.ndarray = None) -> jnp.ndarray:
     """Median heuristic lengthscale (reference:
     ADKTModel.compute_median_lengthscale_init, adaptive_dkt.py:128-131):
     sqrt(0.5 * median of strictly-positive pairwise squared distances).
 
     Uses masked median over the strict upper triangle, jit-friendly.
+    `mask` excludes padded rows from the pair statistics.
     """
     sq = _sq_dist(x, x)
     n = x.shape[0]
     iu = jnp.triu_indices(n, k=1)
     vals = sq[iu]
     pos = vals > 0.0
+    if mask is not None:
+        pair_valid = (mask[:, None] * mask[None, :])[iu] > 0
+        pos = pos & pair_valid
     # Median over positive entries only: sort with +inf fill and index
     # the middle of the valid prefix.
     num_pos = jnp.sum(pos)
