@@ -62,26 +62,46 @@ def episode_stream(
     sampler = StratifiedTaskSampler(
         train_size_or_ratio=spec.support_size, test_size_or_ratio=spec.query_size
     )
+    from adkf_ift_tpu.data import native as native_loader
+
+    use_native = native_loader.native_available()
+
+    def native_episodes(path, idx):
+        task = native_loader.NativeTask(path)
+        if regression and not native_loader.is_valid_numeric_task_native(task):
+            return
+        for k in range(samples_per_task):
+            try:
+                yield native_loader.stratified_episode_native(
+                    task, spec, seed=idx + k, regression=regression
+                )
+            except (SamplingException, ValueError) as e:
+                logger.debug("%s: native sampling failed (%s)", task.name, e)
+
+    def python_episodes(path, idx):
+        task = Task.load_from_file(path)
+        if regression and not is_valid_numeric_task(task):
+            return
+        for k in range(samples_per_task):
+            try:
+                sample = sampler.sample(task, seed=idx + k)
+            except (SamplingException, ValueError) as e:
+                logger.debug("%s: sampling failed (%s)", task.name, e)
+                continue
+            try:
+                yield build_episode(sample, spec, regression=regression)
+            except Exception as e:  # noqa: BLE001 — budget overflows etc.
+                logger.debug("%s: packing failed (%s)", task.name, e)
 
     def reader_fn(paths, idx):
         for path in paths:
             try:
-                task = Task.load_from_file(path)
+                # C++ loader (native/fsmol_loader.cc) when built; identical
+                # episodes (same seed contract) via the Python path otherwise.
+                yield from (native_episodes if use_native else python_episodes)(path, idx)
             except Exception:  # noqa: BLE001
                 logger.exception("Unreadable task file %s", path)
                 continue
-            if regression and not is_valid_numeric_task(task):
-                continue
-            for k in range(samples_per_task):
-                try:
-                    sample = sampler.sample(task, seed=idx + k)
-                except (SamplingException, ValueError) as e:
-                    logger.debug("%s: sampling failed (%s)", task.name, e)
-                    continue
-                try:
-                    yield build_episode(sample, spec, regression=regression)
-                except Exception as e:  # noqa: BLE001 — budget overflows etc.
-                    logger.debug("%s: packing failed (%s)", task.name, e)
 
     return iter(
         dataset.get_task_reading_iterable(
