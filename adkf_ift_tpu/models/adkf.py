@@ -147,8 +147,7 @@ def episode_outer_loss(
     NLL at the inner-optimal GP parameters (forward modes (a)-(c) of the
     reference fused into one differentiable computation)."""
     encoder = make_encoder(config)
-    fs = encoder.apply(encoder_params, episode.support)
-    fq = encoder.apply(encoder_params, episode.query)
+    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
     ys, yq = _episode_labels(config, episode)
     support_mask = episode.support.graph_mask
     query_mask = episode.query.graph_mask
@@ -176,8 +175,7 @@ def episode_predict(
     over the query set (reference forward mode (d) after the inner fit,
     adaptive_dkt.py:198-203 + run_on_batches eval path)."""
     encoder = make_encoder(config)
-    fs = encoder.apply(encoder_params, episode.support)
-    fq = encoder.apply(encoder_params, episode.query)
+    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
     ys, _ = _episode_labels(config, episode)
     support_mask = episode.support.graph_mask
 

@@ -185,8 +185,7 @@ def inner_fit(
 
 def episode_outer_loss(config: ADKTVGPModelConfig, encoder_params, episode: Episode) -> jnp.ndarray:
     encoder = make_encoder(config)
-    fs = encoder.apply(encoder_params, episode.support)
-    fq = encoder.apply(encoder_params, episode.query)
+    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
     ys = episode.support_labels
     yq = episode.query_labels
     s_mask, q_mask = episode.support.graph_mask, episode.query.graph_mask
@@ -199,8 +198,7 @@ def episode_outer_loss(config: ADKTVGPModelConfig, encoder_params, episode: Epis
 
 def episode_predict(config: ADKTVGPModelConfig, encoder_params, episode: Episode) -> ADKTVGPPrediction:
     encoder = make_encoder(config)
-    fs = encoder.apply(encoder_params, episode.support)
-    fq = encoder.apply(encoder_params, episode.query)
+    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
     theta = inner_fit(config, fs, episode.support_labels, episode.support.graph_mask)
     mu, var = vgp_predict(config.vgp_config, theta, fs, fq, episode.support.graph_mask)
     return ADKTVGPPrediction(

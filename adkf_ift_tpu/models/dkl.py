@@ -125,8 +125,7 @@ def fit_task(config: DKLConfig, init: DKLParams, episode: Episode) -> DKLParams:
 def episode_predict(config: DKLConfig, init: DKLParams, episode: Episode) -> ADKFPrediction:
     params = fit_task(config, init, episode)
     encoder = make_encoder(config)
-    fs = encoder.apply(params.encoder, episode.support)
-    fq = encoder.apply(params.encoder, episode.query)
+    fs, fq = encoder.apply_pair(params.encoder, episode.support, episode.query)
     mask = episode.support.graph_mask
     ys = (
         episode.support_numeric_labels if config.use_numeric_labels else episode.support_labels

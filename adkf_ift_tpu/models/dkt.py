@@ -121,8 +121,7 @@ def episode_loss(config: DKTModelConfig, params: DKTParams, episode: Episode) ->
     (dkt.py:146-151 + compute_loss :170-172). Differentiable wrt encoder
     AND GP raw params in one graph."""
     encoder = make_encoder(config)
-    fs = encoder.apply(params.encoder, episode.support)
-    fq = encoder.apply(params.encoder, episode.query)
+    fs, fq = encoder.apply_pair(params.encoder, episode.support, episode.query)
     ys, yq = _episode_labels(config, episode)
 
     x = jnp.concatenate([fs, fq], axis=0)
@@ -141,8 +140,7 @@ def episode_predict(config: DKTModelConfig, params: DKTParams, episode: Episode)
     query posterior; optional per-task hyperparameter refit
     (test_time_adaptation, dkt.py:152-166)."""
     encoder = make_encoder(config)
-    fs = encoder.apply(params.encoder, episode.support)
-    fq = encoder.apply(params.encoder, episode.query)
+    fs, fq = encoder.apply_pair(params.encoder, episode.support, episode.query)
     ys, _ = _episode_labels(config, episode)
     support_mask = episode.support.graph_mask
 

@@ -157,8 +157,7 @@ def init_params(config: PARModelConfig, rng: jax.Array, episode: Episode) -> PAR
     r1, r2 = jax.random.split(rng)
     encoder = make_encoder(config)
     enc_params = encoder.init(r1, episode.support)
-    fs = encoder.apply(enc_params, episode.support)
-    fq = encoder.apply(enc_params, episode.query)
+    fs, fq = encoder.apply_pair(enc_params, episode.support, episode.query)
     rel_params = PARNet(config).init(
         r2, fs, fq, episode.support.graph_mask, episode.query.graph_mask
     )
@@ -172,8 +171,7 @@ def label2edge(labels01_a: jnp.ndarray, labels01_b: jnp.ndarray) -> jnp.ndarray:
 
 def _forward(config: PARModelConfig, params: PARParams, episode: Episode):
     encoder = make_encoder(config)
-    fs = encoder.apply(params.encoder, episode.support)
-    fq = encoder.apply(params.encoder, episode.query)
+    fs, fq = encoder.apply_pair(params.encoder, episode.support, episode.query)
     return PARNet(config).apply(
         params.relnet, fs, fq, episode.support.graph_mask, episode.query.graph_mask
     )

@@ -77,8 +77,7 @@ def episode_logits(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (logits [Q, 2], query labels01 [Q], query mask [Q])."""
     encoder = make_encoder(config)
-    fs = encoder.apply(encoder_params, episode.support)
-    fq = encoder.apply(encoder_params, episode.query)
+    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
     s_mask = episode.support.graph_mask
     q_mask = episode.query.graph_mask
     s_labels01 = (episode.support_labels > 0).astype(jnp.float32)

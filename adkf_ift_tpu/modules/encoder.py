@@ -110,10 +110,53 @@ class CombinedFeatureConfig:
         return dim
 
 
+def combine_packed(support: PackedGraphs, query: PackedGraphs) -> PackedGraphs:
+    """Concatenate two packed mega-graphs into one (support graphs first).
+
+    TPU rationale: the reference encodes support and query in two
+    separate forwards (adaptive_dkt.py:165-171). One combined pass halves
+    the number of launched kernels per episode — on top of identical
+    math, since graphs are disconnected components either way. Dummy
+    segment ids are remapped to the combined dummy slot.
+    """
+    s_graphs, q_graphs = support.num_graphs, query.num_graphs
+    total = s_graphs + q_graphs
+    s_off = support.node_budget
+
+    s_ids = jnp.where(support.node_mask > 0, support.node_to_graph, total)
+    q_ids = jnp.where(query.node_mask > 0, query.node_to_graph + s_graphs, total)
+    return PackedGraphs(
+        node_features=jnp.concatenate([support.node_features, query.node_features]),
+        node_to_graph=jnp.concatenate([s_ids, q_ids]),
+        node_mask=jnp.concatenate([support.node_mask, query.node_mask]),
+        edge_sources=tuple(
+            jnp.concatenate([es, eq + s_off])
+            for es, eq in zip(support.edge_sources, query.edge_sources)
+        ),
+        edge_targets=tuple(
+            jnp.concatenate([et, eq + s_off])
+            for et, eq in zip(support.edge_targets, query.edge_targets)
+        ),
+        edge_mask=tuple(
+            jnp.concatenate([em, eq]) for em, eq in zip(support.edge_mask, query.edge_mask)
+        ),
+        fingerprints=jnp.concatenate([support.fingerprints, query.fingerprints]),
+        descriptors=jnp.concatenate([support.descriptors, query.descriptors]),
+        graph_mask=jnp.concatenate([support.graph_mask, query.graph_mask]),
+    )
+
+
 class CombinedFeatureExtractor(nn.Module):
     """GNN ⊕ ECFP ⊕ descriptors -> optional FC head (adaptive_dkt.py:137-160)."""
 
     config: CombinedFeatureConfig
+
+    def apply_pair(self, params, support: PackedGraphs, query: PackedGraphs):
+        """Encode support and query in ONE combined forward; returns
+        (support_features [S, D], query_features [Q, D])."""
+        combined = combine_packed(support, query)
+        feats = self.apply(params, combined)
+        return feats[: support.num_graphs], feats[support.num_graphs :]
 
     @nn.compact
     def __call__(self, batch: PackedGraphs, deterministic: bool = True) -> jnp.ndarray:
