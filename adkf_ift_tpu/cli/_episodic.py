@@ -97,10 +97,12 @@ def run_episodic_training(
     regression: bool = False,
     optimizer=None,
     optimizer_factory: Optional[Callable] = None,
+    batch_loss_fn: Optional[Callable] = None,
 ):
     """Wire the full meta-training stack and run it. `optimizer_factory`
     maps initialized params to an optax transformation (for param-group
-    optimizers like MAML's)."""
+    optimizers like MAML's); `batch_loss_fn(config, params, stacked)`
+    enables flat-chunk encoding (train/meta.py)."""
     loop_cfg = TrainLoopConfig(
         num_train_steps=args.num_train_steps,
         tasks_per_batch=args.tasks_per_batch,
@@ -125,6 +127,9 @@ def run_episodic_training(
         lambda p, e: episode_loss_fn(config, p, e),
         optimizer,
         task_chunk=args.task_chunk,
+        batch_loss_fn=(
+            (lambda p, e: batch_loss_fn(config, p, e)) if batch_loss_fn is not None else None
+        ),
     )
     state = init_train_state(params, optimizer)
 

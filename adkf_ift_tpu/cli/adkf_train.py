@@ -74,6 +74,7 @@ def main(argv=None):
         out_dir,
         dataset,
         regression=args.use_numeric_labels,
+        batch_loss_fn=adkf.batch_outer_loss,
     )
 
 

@@ -51,6 +51,7 @@ def main(argv=None):
         out_dir,
         dataset,
         regression=args.use_numeric_labels,
+        batch_loss_fn=dkt.batch_loss,
     )
 
 

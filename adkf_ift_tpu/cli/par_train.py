@@ -1,0 +1,64 @@
+"""Train PAR (property-aware relation networks + MAML) — the reference's
+par_train.py."""
+
+from __future__ import annotations
+
+import argparse
+
+from adkf_ift_tpu.cli.cli_utils import add_train_cli_args, set_up_train_run
+from adkf_ift_tpu.cli.encoder_args import add_encoder_cli_args, encoder_config_from_args
+from adkf_ift_tpu.cli._episodic import add_episodic_train_args, run_episodic_training
+from adkf_ift_tpu.models import par
+
+
+def parse_command_line(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Train a PAR model on molecules (reference par_train.py).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    add_train_cli_args(parser)
+    add_encoder_cli_args(parser)
+    add_episodic_train_args(parser, defaults={"tasks_per_batch": 9, "support": 16, "lr": 1e-3})
+    parser.add_argument("--emb-dim", type=int, default=300)
+    parser.add_argument("--map-dim", type=int, default=128)
+    parser.add_argument("--rel-hidden-dim", type=int, default=128)
+    parser.add_argument("--rel-layer", type=int, default=2)
+    parser.add_argument("--reg-adj", type=float, default=1.0)
+    parser.add_argument("--inner-lr", type=float, default=1e-3)
+    parser.add_argument("--num-inner-update-step", type=int, default=1)
+    parser.add_argument("--first-order", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_command_line(argv)
+    out_dir, dataset = set_up_train_run("PARModel", args)
+    from dataclasses import replace
+
+    feats = replace(
+        encoder_config_from_args(args), fc_hidden_dim=512, fc_out_dim=args.emb_dim
+    )
+    config = par.PARModelConfig(
+        features=feats,
+        emb_dim=args.emb_dim,
+        map_dim=args.map_dim,
+        rel_hidden_dim=args.rel_hidden_dim,
+        rel_layer=args.rel_layer,
+        reg_adj=args.reg_adj,
+        inner_learning_rate=args.inner_lr,
+        num_inner_update_step=args.num_inner_update_step,
+        second_order_maml=not args.first_order,
+    )
+    run_episodic_training(
+        "par",
+        config,
+        lambda cfg, rng, probe: par.init_params(cfg, rng, probe),
+        par.episode_loss,
+        args,
+        out_dir,
+        dataset,
+    )
+
+
+if __name__ == "__main__":
+    main()

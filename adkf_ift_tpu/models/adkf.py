@@ -138,20 +138,8 @@ def inner_fit(
     )
 
 
-def episode_outer_loss(
-    config: ADKFModelConfig,
-    encoder_params,
-    episode: Episode,
-) -> jnp.ndarray:
-    """The ADKF-IFT training objective for one episode: predictive query
-    NLL at the inner-optimal GP parameters (forward modes (a)-(c) of the
-    reference fused into one differentiable computation)."""
-    encoder = make_encoder(config)
-    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
-    ys, yq = _episode_labels(config, episode)
-    support_mask = episode.support.graph_mask
-    query_mask = episode.query.graph_mask
-
+def _gp_outer_loss(config, fs, ys, support_mask, fq, yq, query_mask) -> jnp.ndarray:
+    """Inner fit + predictive query NLL on already-encoded features."""
     theta_star = inner_fit(config, fs, ys * support_mask, support_mask)
     gp_params = unflatten_gp_params(config.gp_config.kernel, theta_star)
     return predictive_nll(
@@ -164,6 +152,46 @@ def episode_outer_loss(
         support_mask=support_mask,
         query_mask=query_mask,
     )
+
+
+def episode_outer_loss(
+    config: ADKFModelConfig,
+    encoder_params,
+    episode: Episode,
+) -> jnp.ndarray:
+    """The ADKF-IFT training objective for one episode: predictive query
+    NLL at the inner-optimal GP parameters (forward modes (a)-(c) of the
+    reference fused into one differentiable computation)."""
+    encoder = make_encoder(config)
+    fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
+    ys, yq = _episode_labels(config, episode)
+    return _gp_outer_loss(
+        config, fs, ys, episode.support.graph_mask, fq, yq, episode.query.graph_mask
+    )
+
+
+def batch_outer_loss(
+    config: ADKFModelConfig,
+    encoder_params,
+    episode_batch: Episode,
+) -> jnp.ndarray:
+    """Per-episode losses [C] for a STACKED episode batch.
+
+    TPU-critical structure: the whole chunk is encoded as ONE flat
+    mega-graph (no batch dims on gathers/scatters — vmapping the encoder
+    measures 1.5× slower than sequential, modules/encoder.flatten_stacked),
+    and only the small dense GP computation is vmapped."""
+    encoder = make_encoder(config)
+    fs, fq = encoder.apply_pair_batch(encoder_params, episode_batch.support, episode_batch.query)
+    if config.use_numeric_labels:
+        ys, yq = episode_batch.support_numeric_labels, episode_batch.query_numeric_labels
+    else:
+        ys, yq = episode_batch.support_labels, episode_batch.query_labels
+    return jax.vmap(
+        lambda fs_i, ys_i, sm_i, fq_i, yq_i, qm_i: _gp_outer_loss(
+            config, fs_i, ys_i, sm_i, fq_i, yq_i, qm_i
+        )
+    )(fs, ys, episode_batch.support.graph_mask, fq, yq, episode_batch.query.graph_mask)
 
 
 def episode_predict(

@@ -135,6 +135,30 @@ def episode_loss(config: DKTModelConfig, params: DKTParams, episode: Episode) ->
     )
 
 
+def batch_loss(config: DKTModelConfig, params: DKTParams, episode_batch: Episode) -> jnp.ndarray:
+    """Per-episode joint -MLL [C] with the whole chunk encoded as one flat
+    mega-graph (see modules/encoder.flatten_stacked for the rationale)."""
+    encoder = make_encoder(config)
+    fs, fq = encoder.apply_pair_batch(params.encoder, episode_batch.support, episode_batch.query)
+    if config.use_numeric_labels:
+        ys, yq = episode_batch.support_numeric_labels, episode_batch.query_numeric_labels
+    else:
+        ys, yq = episode_batch.support_labels, episode_batch.query_labels
+    sm, qm = episode_batch.support.graph_mask, episode_batch.query.graph_mask
+
+    def one(fs_i, fq_i, ys_i, yq_i, sm_i, qm_i):
+        x = jnp.concatenate([fs_i, fq_i], axis=0)
+        y = jnp.concatenate([ys_i, yq_i], axis=0)
+        mask = jnp.concatenate([sm_i, qm_i], axis=0)
+        gp_params = unflatten_gp_params(config.gp_config.kernel, params.gp_raw)
+        return -marginal_log_likelihood(
+            config.gp_config, gp_params, x, y * mask, mask=mask,
+            lengthscale_prior_loc=_ls_prior_loc(config),
+        )
+
+    return jax.vmap(one)(fs, fq, ys, yq, sm, qm)
+
+
 def episode_predict(config: DKTModelConfig, params: DKTParams, episode: Episode) -> ADKFPrediction:
     """Eval: condition the (meta-learned) GP on the support set, score the
     query posterior; optional per-task hyperparameter refit

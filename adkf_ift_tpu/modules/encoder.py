@@ -110,6 +110,38 @@ class CombinedFeatureConfig:
         return dim
 
 
+def flatten_stacked(stacked: PackedGraphs) -> PackedGraphs:
+    """Flatten a stacked [C, ...] batch of packed mega-graphs into ONE
+    mega-graph of C× the graphs.
+
+    TPU rationale: vmapping the encoder over episodes puts a batch
+    dimension on every gather/scatter, which XLA lowers off the fast
+    path (measured 1.5× WORSE than sequential on v5e). Graphs are
+    disconnected components, so a task chunk can instead be packed flat
+    — the encoder runs with 1-D gathers and constant op count
+    regardless of chunk size; only the small dense GP head is vmapped.
+    """
+    c, nb = stacked.node_features.shape[:2]
+    g = stacked.graph_mask.shape[1]
+    total_graphs = c * g
+    node_off = (jnp.arange(c, dtype=jnp.int32) * nb)[:, None]
+    graph_off = (jnp.arange(c, dtype=jnp.int32) * g)[:, None]
+    ids = jnp.where(
+        stacked.node_mask > 0, stacked.node_to_graph + graph_off, total_graphs
+    )
+    return PackedGraphs(
+        node_features=stacked.node_features.reshape(c * nb, -1),
+        node_to_graph=ids.reshape(-1),
+        node_mask=stacked.node_mask.reshape(-1),
+        edge_sources=tuple((es + node_off).reshape(-1) for es in stacked.edge_sources),
+        edge_targets=tuple((et + node_off).reshape(-1) for et in stacked.edge_targets),
+        edge_mask=tuple(em.reshape(-1) for em in stacked.edge_mask),
+        fingerprints=stacked.fingerprints.reshape(total_graphs, -1),
+        descriptors=stacked.descriptors.reshape(total_graphs, -1),
+        graph_mask=stacked.graph_mask.reshape(-1),
+    )
+
+
 def combine_packed(support: PackedGraphs, query: PackedGraphs) -> PackedGraphs:
     """Concatenate two packed mega-graphs into one (support graphs first).
 
@@ -157,6 +189,16 @@ class CombinedFeatureExtractor(nn.Module):
         combined = combine_packed(support, query)
         feats = self.apply(params, combined)
         return feats[: support.num_graphs], feats[support.num_graphs :]
+
+    def apply_pair_batch(self, params, support: PackedGraphs, query: PackedGraphs):
+        """Encode a STACKED [C, ...] batch of support/query pairs in one
+        flat forward (see flatten_stacked); returns ([C, S, D], [C, Q, D])."""
+        c, s = support.graph_mask.shape
+        q = query.graph_mask.shape[1]
+        flat_s = flatten_stacked(support)
+        flat_q = flatten_stacked(query)
+        fs, fq = self.apply_pair(params, flat_s, flat_q)
+        return fs.reshape(c, s, -1), fq.reshape(c, q, -1)
 
     @nn.compact
     def __call__(self, batch: PackedGraphs, deterministic: bool = True) -> jnp.ndarray:

@@ -22,7 +22,10 @@ import numpy as np
 
 from adkf_ift_tpu.data.episodes import Episode
 
-MODEL_KINDS = ("adkf", "adkf_vgp", "dkt", "dkl", "gpst", "protonet", "cnp", "maml", "multitask")
+MODEL_KINDS = (
+    "adkf", "adkf_vgp", "dkt", "dkl", "gpst", "protonet", "cnp", "maml",
+    "multitask", "par",
+)
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -63,6 +66,11 @@ def make_predict_fn(kind: str, config, regression: bool = False) -> Callable:
         gp = False
     elif kind == "maml":
         raw = lambda p, e: maml.episode_predict(config, p, e)
+        gp = False
+    elif kind == "par":
+        from adkf_ift_tpu.models import par as par_model
+
+        raw = lambda p, e: par_model.episode_predict(config, p, e)
         gp = False
     elif kind == "multitask":
         raw = lambda p, e: gnn_multitask.episode_predict(config, p, e)

@@ -57,6 +57,7 @@ def make_meta_train_step(
     donate_state: bool = True,
     task_chunk: Optional[int] = None,
     remat: bool = True,
+    batch_loss_fn: Optional[Callable[[dict, Episode], jnp.ndarray]] = None,
 ) -> Callable[[MetaTrainState, Episode], Tuple[MetaTrainState, jnp.ndarray]]:
     """Build the jitted outer step.
 
@@ -74,14 +75,25 @@ def make_meta_train_step(
         activation memory scales with task_chunk, not batch size.
         With a mesh, task_chunk counts tasks per scan step GLOBALLY and
         must be a multiple of the mesh size.
+      * batch_loss_fn(params, stacked_episodes) -> per-task losses [C]:
+        models that flatten the chunk into one mega-graph (e.g.
+        adkf.batch_outer_loss) avoid batch dims on the encoder's
+        gathers/scatters — substantially faster than vmapping
+        episode_loss_fn on TPU.
     """
-    loss_fn = jax.checkpoint(episode_loss_fn) if remat else episode_loss_fn
+    if batch_loss_fn is not None:
+        chunk_losses = jax.checkpoint(batch_loss_fn) if remat else batch_loss_fn
+    else:
+        single = jax.checkpoint(episode_loss_fn) if remat else episode_loss_fn
+
+        def chunk_losses(p, chunk):
+            return jax.vmap(lambda ep: single(p, ep))(chunk)
 
     def chunk_grads(params, chunk):
-        """Summed grads + per-task losses for one vmapped task chunk."""
+        """Summed grads + per-task losses for one task chunk."""
 
         def chunk_loss(p):
-            losses = jax.vmap(lambda ep: loss_fn(p, ep))(chunk)
+            losses = chunk_losses(p, chunk)
             return jnp.sum(losses), losses
 
         (_, losses), grads = jax.value_and_grad(chunk_loss, has_aux=True)(params)

@@ -64,11 +64,15 @@ def main():
     params = adkf.init_encoder_params(config, jax.random.PRNGKey(0), episodes[0].support)
     optimizer = make_optimizer(1e-4, clip_value=1.0)
     state = init_train_state(params, optimizer)
-    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "2"))
+    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "8"))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     step_fn = make_meta_train_step(
         lambda p, e: adkf.episode_outer_loss(config, p, e),
         optimizer,
         task_chunk=task_chunk,
+        remat=remat,
+        # Flat-chunk encoding: one mega-graph per chunk, GP head vmapped.
+        batch_loss_fn=lambda p, e: adkf.batch_outer_loss(config, p, e),
     )
 
     batch = jax.device_put(batch)

@@ -1,0 +1,89 @@
+"""Flat-chunk batching: batch_outer_loss must equal per-episode losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adkf_ift_tpu.data import EpisodeSpec, StratifiedTaskSampler, build_episode, stack_episodes
+from adkf_ift_tpu.gp import LBFGSConfig
+from adkf_ift_tpu.models import adkf
+from adkf_ift_tpu.modules import (
+    CombinedFeatureConfig,
+    GNNConfig,
+    GraphFeatureExtractorConfig,
+    GraphReadoutConfig,
+)
+from adkf_ift_tpu.train.meta import init_train_state, make_meta_train_step, make_optimizer
+from adkf_ift_tpu.utils.synthetic import make_task
+
+
+def _tiny():
+    return CombinedFeatureConfig(
+        used_features="gnn+ecfp+fc",
+        graph_config=GraphFeatureExtractorConfig(
+            gnn_config=GNNConfig(num_layers=2, hidden_dim=32, num_heads=2, per_head_dim=8, intermediate_dim=64),
+            readout_config=GraphReadoutConfig(num_heads=2, head_dim=8, output_dim=16),
+        ),
+        fc_out_dim=32,
+        fc_hidden_dim=32,
+    )
+
+
+def _episodes(n):
+    spec = EpisodeSpec(support_size=16, query_size=32)
+    sampler = StratifiedTaskSampler(16, test_size_or_ratio=32)
+    return [
+        build_episode(sampler.sample(make_task(f"F{i}", num_samples=120, seed=i), seed=i), spec)
+        for i in range(n)
+    ]
+
+
+def test_batch_outer_loss_matches_vmapped_single():
+    cfg = adkf.ADKFModelConfig(
+        features=_tiny(), inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8)
+    )
+    eps = _episodes(4)
+    batch = stack_episodes(eps)
+    params = adkf.init_encoder_params(cfg, jax.random.PRNGKey(0), eps[0].support)
+
+    flat = jax.jit(lambda p, b: adkf.batch_outer_loss(cfg, p, b))(params, batch)
+    singles = np.asarray(
+        [float(adkf.episode_outer_loss(cfg, params, ep)) for ep in eps]
+    )
+    np.testing.assert_allclose(np.asarray(flat), singles, rtol=2e-4, atol=2e-3)
+
+
+def test_dkt_batch_loss_matches_vmapped_single():
+    from adkf_ift_tpu.models import dkt
+
+    cfg = dkt.DKTModelConfig(features=_tiny())
+    eps = _episodes(3)
+    batch = stack_episodes(eps)
+    params = dkt.init_params(cfg, jax.random.PRNGKey(0), eps[0].support)
+    flat = np.asarray(jax.jit(lambda p, b: dkt.batch_loss(cfg, p, b))(params, batch))
+    singles = np.asarray([float(dkt.episode_loss(cfg, params, ep)) for ep in eps])
+    np.testing.assert_allclose(flat, singles, rtol=2e-4, atol=2e-3)
+
+
+def test_meta_train_step_with_batch_loss_fn_trains():
+    cfg = adkf.ADKFModelConfig(
+        features=_tiny(), inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8)
+    )
+    eps = _episodes(4)
+    batch = stack_episodes(eps)
+    params = adkf.init_encoder_params(cfg, jax.random.PRNGKey(0), eps[0].support)
+    opt = make_optimizer(1e-3, clip_value=1.0)
+    step = make_meta_train_step(
+        lambda p, e: adkf.episode_outer_loss(cfg, p, e),
+        opt,
+        task_chunk=2,
+        batch_loss_fn=lambda p, e: adkf.batch_outer_loss(cfg, p, e),
+    )
+    state = init_train_state(params, opt)
+    state, losses = step(state, batch)
+    assert losses.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    l0 = float(np.mean(np.asarray(losses)))
+    for _ in range(4):
+        state, losses = step(state, batch)
+    assert float(np.mean(np.asarray(losses))) < l0
