@@ -99,34 +99,70 @@ def make_meta_train_step(
         (_, losses), grads = jax.value_and_grad(chunk_loss, has_aux=True)(params)
         return grads, losses
 
-    def step(state: MetaTrainState, episode_batch: Episode):
+    def accumulate(params, episode_batch, chunk_size: Optional[int]):
+        """Summed grads + per-task losses, scanning over chunks if needed."""
         n_tasks = jax.tree.leaves(episode_batch)[0].shape[0]
-        if task_chunk is None or task_chunk >= n_tasks:
-            grads, losses = chunk_grads(state.params, episode_batch)
-            grads = jax.tree.map(lambda g: g / n_tasks, grads)
-        else:
-            if n_tasks % task_chunk:
-                raise ValueError(f"task batch {n_tasks} not divisible by task_chunk {task_chunk}")
-            chunked = jax.tree.map(
-                lambda x: x.reshape((n_tasks // task_chunk, task_chunk) + x.shape[1:]),
-                episode_batch,
-            )
+        if chunk_size is None or chunk_size >= n_tasks:
+            return chunk_grads(params, episode_batch)
+        if n_tasks % chunk_size:
+            raise ValueError(f"task batch {n_tasks} not divisible by task_chunk {chunk_size}")
+        chunked = jax.tree.map(
+            lambda x: x.reshape((n_tasks // chunk_size, chunk_size) + x.shape[1:]),
+            episode_batch,
+        )
 
-            def body(acc, chunk):
-                g, losses = chunk_grads(state.params, chunk)
-                return jax.tree.map(jnp.add, acc, g), losses
+        def body(acc, chunk):
+            g, losses = chunk_grads(params, chunk)
+            return jax.tree.map(jnp.add, acc, g), losses
 
-            zero = jax.tree.map(jnp.zeros_like, state.params)
-            grad_sum, losses = jax.lax.scan(body, zero, chunked)
-            grads = jax.tree.map(lambda g: g / n_tasks, grad_sum)
-            losses = losses.reshape((n_tasks,))
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grad_sum, losses = jax.lax.scan(body, zero, chunked)
+        return grad_sum, losses.reshape((n_tasks,))
 
+    def apply_update(state, grads, losses, n_tasks):
+        grads = jax.tree.map(lambda g: g / n_tasks, grads)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return MetaTrainState(new_params, new_opt_state, state.step + 1), losses
 
     if mesh is None:
+
+        def step(state: MetaTrainState, episode_batch: Episode):
+            n_tasks = jax.tree.leaves(episode_batch)[0].shape[0]
+            grads, losses = accumulate(state.params, episode_batch, task_chunk)
+            return apply_update(state, grads, losses, n_tasks)
+
         return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+
+    # Mesh path: shard_map over the task axis. Each device accumulates
+    # grads over its LOCAL episodes (flat-chunk encoding included — the
+    # flattening happens per device so gathers never cross chips), then
+    # one psum over ICI reduces the gradient (SURVEY.md §2.9).
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from adkf_ift_tpu.parallel.mesh import TASK_AXIS
+
+    def sharded_step(state: MetaTrainState, episode_batch: Episode):
+        n_tasks = jax.tree.leaves(episode_batch)[0].shape[0]
+        n_devices = mesh.shape[TASK_AXIS]
+        local_chunk = None
+        if task_chunk is not None:
+            local_chunk = max(task_chunk // n_devices, 1)
+
+        def device_fn(params, local_batch):
+            grads, losses = accumulate(params, local_batch, local_chunk)
+            grads = jax.lax.psum(grads, TASK_AXIS)
+            return grads, losses
+
+        grads, losses = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(), P(TASK_AXIS)),
+            out_specs=(P(), P(TASK_AXIS)),
+            check_rep=False,
+        )(state.params, episode_batch)
+        return apply_update(state, grads, losses, n_tasks)
 
     state_sharding = MetaTrainState(
         params=replicated_sharding(mesh),
@@ -134,7 +170,7 @@ def make_meta_train_step(
         step=replicated_sharding(mesh),
     )
     return jax.jit(
-        step,
+        sharded_step,
         in_shardings=(state_sharding, episode_batch_sharding(mesh)),
         out_shardings=(state_sharding, episode_batch_sharding(mesh)),
         donate_argnums=(0,) if donate_state else (),
