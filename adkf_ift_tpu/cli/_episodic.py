@@ -47,6 +47,11 @@ def add_episodic_train_args(parser: argparse.ArgumentParser, defaults=None) -> N
         "--task-chunk", type=int, default=d.get("task_chunk", 2),
         help="Tasks per gradient-accumulation chunk (memory/throughput knob).",
     )
+    parser.add_argument(
+        "--no-remat", action="store_true",
+        help="Disable per-episode rematerialization (faster when the "
+        "chunk fits HBM; small chunks without remat measured fastest on v5e).",
+    )
     parser.add_argument("--num-reader-workers", type=int, default=4)
 
 
@@ -127,6 +132,7 @@ def run_episodic_training(
         lambda p, e: episode_loss_fn(config, p, e),
         optimizer,
         task_chunk=args.task_chunk,
+        remat=not getattr(args, "no_remat", False),
         batch_loss_fn=(
             (lambda p, e: batch_loss_fn(config, p, e)) if batch_loss_fn is not None else None
         ),

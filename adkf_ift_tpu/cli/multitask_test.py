@@ -18,12 +18,22 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     )
     add_episodic_test_args(parser)
     add_eval_cli_args(parser)
+    parser.add_argument(
+        "--from-scratch", action="store_true",
+        help="GNN-ST baseline: no pretrained encoder, train the whole "
+        "single-task model on each support set from random init.",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_command_line(argv)
-    out_dir, dataset = set_up_test_run("GNNMultitask", args)
+    if args.from_scratch:
+        args.use_fresh_param_init = True
+        args.TRAINED_MODEL = None
+    out_dir, dataset = set_up_test_run(
+        "GNNSingleTask" if args.from_scratch else "GNNMultitask", args
+    )
     run_episodic_test(
         "multitask",
         args,

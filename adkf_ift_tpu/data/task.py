@@ -71,17 +71,40 @@ class MoleculeDatapoint:
     descriptors: Optional[np.ndarray]
 
     def get_fingerprint(self) -> np.ndarray:
+        """Stored fingerprint, or a lazy RDKit recompute (the reference's
+        fallback, fsmol_task.py:59-81; RDKit is optional here)."""
         if self.fingerprint is not None:
             return self.fingerprint
+        try:
+            from rdkit import Chem
+
+            from adkf_ift_tpu.preprocessing.featurise import morgan_count_fingerprint
+
+            mol = Chem.MolFromSmiles(self.smiles)
+            if mol is not None:
+                object.__setattr__(self, "fingerprint", morgan_count_fingerprint(mol))
+                return self.fingerprint
+        except ImportError:
+            pass
         raise ValueError(
-            f"Datapoint {self.smiles} has no stored fingerprint; on-the-fly "
-            "RDKit recompute is not supported on the training path "
-            "(preprocess with adkf_ift_tpu.preprocessing instead)."
+            f"Datapoint {self.smiles} has no stored fingerprint and RDKit is "
+            "unavailable for on-the-fly recompute."
         )
 
     def get_descriptors(self) -> np.ndarray:
         if self.descriptors is not None:
             return self.descriptors
+        try:
+            from rdkit import Chem
+
+            from adkf_ift_tpu.preprocessing.featurise import phys_chem_descriptors
+
+            mol = Chem.MolFromSmiles(self.smiles)
+            if mol is not None:
+                object.__setattr__(self, "descriptors", phys_chem_descriptors(mol))
+                return self.descriptors
+        except ImportError:
+            pass
         raise ValueError(f"Datapoint {self.smiles} has no stored descriptors.")
 
 

@@ -46,7 +46,11 @@ class GraphFeatureExtractor(nn.Module):
             x, batch.edge_sources, batch.edge_targets, batch.edge_mask, deterministic
         )
         if cfg.readout_config.use_all_states:
-            node_repr = jnp.concatenate(states, axis=-1)
+            # The all-states concat is the widest activation in the model
+            # ([V, (L+1)*hidden]); store it in the readout's compute dtype.
+            node_repr = jnp.concatenate(
+                [s.astype(cfg.readout_config.compute_dtype) for s in states], axis=-1
+            )
         else:
             node_repr = states[-1]
 

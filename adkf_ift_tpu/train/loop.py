@@ -45,7 +45,7 @@ class TrainLoopConfig:
     log_every_num_steps: int = 10
     num_reader_workers: int = 4
     nodes_per_graph: int = 48
-    edges_per_graph: int = 112
+    edges_per_graph: tuple = (80, 32, 16)  # per-edge-type budgets
 
 
 def episode_stream(
