@@ -6,7 +6,7 @@ and report out-of-sample R² against the train-mean baseline."""
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ optional L2 normalization (cossim kernel).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -23,10 +23,9 @@ TPU-first design deltas:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Tuple
+from dataclasses import dataclass
+from typing import List
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -11,7 +11,7 @@ column per task with 0/1/blank labels) is RDKit-gated.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 

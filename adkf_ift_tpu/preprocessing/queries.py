@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import configparser
 import logging
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 logger = logging.getLogger(__name__)
 

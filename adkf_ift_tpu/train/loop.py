@@ -21,7 +21,6 @@ import time
 from dataclasses import dataclass
 from typing import Callable, Iterator, Optional
 
-import jax
 import numpy as np
 
 from adkf_ift_tpu.data.dataset import DataFold, FSMolDataset

@@ -9,8 +9,6 @@ the task axis shards across devices and XLA reduces gradients over ICI.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
