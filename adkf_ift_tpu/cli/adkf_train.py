@@ -49,6 +49,11 @@ def parse_command_line(argv=None) -> argparse.Namespace:
         help="Drop the IFT correction term (the first-order 'ADKF' ablation).",
     )
     parser.add_argument("--inner-max-iters", type=int, default=64, help="Inner L-BFGS iterations.")
+    parser.add_argument(
+        "--inner-method", type=str, default=None, choices=[None, "lbfgs", "newton"],
+        help="Inner optimizer; default: newton for non-ARD (fewer sequential "
+        "ops, same optima), lbfgs for ARD.",
+    )
     return parser.parse_args(argv)
 
 
@@ -63,7 +68,10 @@ def main(argv=None):
         use_numeric_labels=args.use_numeric_labels,
         use_lengthscale_prior=args.use_lengthscale_prior,
         ignore_grad_correction=args.ignore_grad_correction,
-        inner_optimizer=LBFGSConfig(max_iters=args.inner_max_iters),
+        inner_optimizer=LBFGSConfig(
+            max_iters=args.inner_max_iters,
+            method=args.inner_method or ("lbfgs" if args.use_ard else "newton"),
+        ),
     )
     run_episodic_training(
         "adkf",

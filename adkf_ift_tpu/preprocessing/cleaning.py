@@ -144,22 +144,36 @@ def _contradictory(r1, r2) -> bool:
 
 
 def remove_far_duplicates(df: pd.DataFrame) -> pd.DataFrame:
-    """Drop ALL measurements of molecules with contradictory duplicates;
-    among consistent duplicates keep the first (remove_far_duplicates +
-    clean.py dedup)."""
+    """Drop every row belonging to a contradictory-duplicate cluster.
+
+    Exact semantics of the reference (cleaning_utils.py:211-316 +
+    drop_duplicates(keep=False)): within a molecule, rows more than
+    1 pXC unit (or 5% inhibition) apart are linked; the TRANSITIVE
+    CLOSURE of linked rows forms a partition, and all partitions of
+    size > 1 are dropped entirely. Consistent duplicate measurements
+    (close values) are all KEPT. Verified against the checked-in
+    CHEMBL1001235 golden fixture."""
     keep_rows = []
     for _, group in df.groupby("canonical_smiles", sort=False):
-        rows = list(group.itertuples(index=True))
-        contradictory = False
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if _contradictory(df.loc[rows[i].Index], df.loc[rows[j].Index]):
-                    contradictory = True
-                    break
-            if contradictory:
-                break
-        if not contradictory:
-            keep_rows.append(rows[0].Index)
+        idxs = list(group.index)
+        parent = {i: i for i in idxs}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                if _contradictory(df.loc[idxs[a]], df.loc[idxs[b]]):
+                    ra, rb = find(idxs[a]), find(idxs[b])
+                    if ra != rb:
+                        parent[ra] = rb
+        from collections import Counter
+
+        sizes = Counter(find(i) for i in idxs)
+        keep_rows.extend(i for i in idxs if sizes[find(i)] == 1)
     return df.loc[sorted(keep_rows)]
 
 
@@ -180,27 +194,42 @@ def clean_assay(
     """Full cleaning pipeline for one assay dataframe. Returns None if the
     assay is rejected (too small / too imbalanced / single unit check)."""
     df = df.copy()
-    # 1. unit/value filters
-    df = df[df["standard_units"].map(has_permitted_units)]
-    df = df[~df["standard_value"].isna()]
-    if len(df) == 0:
-        return None
-    if df["standard_units"].nunique() > 1:
-        # reference cleans per-unit assays; mixed-unit exports are split upstream
-        major = df["standard_units"].mode().iloc[0]
-        df = df[df["standard_units"] == major]
-
-    # optional molecule standardization (RDKit) to canonical parent SMILES
+    # canonical_smiles comes from the RDKit standardizer when available;
+    # otherwise the raw SMILES column stands in (clean.py runs the
+    # standardizer in an earlier pass).
+    if "canonical_smiles" not in df.columns:
+        df["canonical_smiles"] = df["smiles"]
     if standardize_fn is not None:
         df["canonical_smiles"] = df["canonical_smiles"].map(standardize_fn)
         df = df[~df["canonical_smiles"].isna()]
         if len(df) == 0:
             return None
 
-    # 2. log transform
-    df["log_standard_value"] = df["standard_value"].map(log_standard_value)
+    # 1. unit/value filters (clean.py:63,99)
+    df = df[df["standard_units"].map(has_permitted_units)]
+    df = df[~df["standard_value"].isna()]
+    if len(df) == 0:
+        return None
+
+    # exact-duplicate measurements: keep first (clean.py:106)
+    df = df.drop_duplicates(subset=["canonical_smiles", "standard_value"], keep="first")
+
+    # uM -> nM unit conversion (clean.py:111-112)
+    um = df["standard_units"] == "uM"
+    df.loc[um, "standard_value"] = df.loc[um, "standard_value"] * 1000.0
+    df.loc[um, "standard_units"] = "nM"
+    if df["standard_units"].nunique() > 1:
+        # only nM and % can remain; the reference treats an assay as one
+        # measurement kind — keep the majority kind
+        major = df["standard_units"].mode().iloc[0]
+        df = df[df["standard_units"] == major]
+
+    # 2. log transform (clean.py:114-118; % rows carry NaN)
     if df.iloc[0]["standard_units"] != "%":
+        df["log_standard_value"] = df["standard_value"].map(log_standard_value)
         df = df[~df["log_standard_value"].isna()]
+    else:
+        df["log_standard_value"] = float("nan")
     if len(df) == 0:
         return None
 

@@ -108,7 +108,9 @@ def test_remove_far_duplicates_drops_contradictions_keeps_consistent():
     smiles = set(out["canonical_smiles"])
     assert "A" not in smiles  # contradictory duplicates all dropped
     assert smiles == {"B", "C"}
-    assert len(out[out["canonical_smiles"] == "B"]) == 1  # consistent dedup keeps first
+    # Consistent duplicates are ALL kept (golden-verified reference
+    # semantics; exact value duplicates are removed earlier in clean_assay).
+    assert len(out[out["canonical_smiles"] == "B"]) == 2
 
 
 def test_clean_assay_end_to_end_and_filters():
