@@ -52,6 +52,11 @@ def add_episodic_train_args(parser: argparse.ArgumentParser, defaults=None) -> N
         help="Disable per-episode rematerialization (faster when the "
         "chunk fits HBM; small chunks without remat measured fastest on v5e).",
     )
+    parser.add_argument(
+        "--resume-from", type=str, default=None,
+        help="Checkpoint directory to resume mid-run (params + optimizer "
+        "state + step counter; capability the reference lacks, SURVEY.md §5).",
+    )
     parser.add_argument("--num-reader-workers", type=int, default=4)
 
 
@@ -125,6 +130,14 @@ def run_episodic_training(
     )
     params = init_params_fn(config, jax.random.PRNGKey(args.seed), probe)
 
+    start_step = 0
+    resume_opt_state = None
+    resume_from = getattr(args, "resume_from", None)
+    if resume_from:
+        config, params, resume_opt_state, saved_step = load_checkpoint(resume_from, params)
+        start_step = saved_step or 0
+        logger.info("resuming from %s at step %d", resume_from, start_step)
+
     if optimizer_factory is not None:
         optimizer = optimizer_factory(params)
     optimizer = optimizer or make_optimizer(args.lr, clip_value=args.clip_value)
@@ -138,6 +151,12 @@ def run_episodic_training(
         ),
     )
     state = init_train_state(params, optimizer)
+    if resume_opt_state is not None:
+        import jax.numpy as jnp
+
+        state = state._replace(
+            opt_state=resume_opt_state, step=jnp.asarray(start_step, jnp.int32)
+        )
 
     validate_fn = None
     if dataset.get_num_fold_tasks(DataFold.VALIDATION) > 0:
@@ -160,6 +179,7 @@ def run_episodic_training(
         config,
         validate_fn=validate_fn,
         regression=regression,
+        start_step=start_step,
     )
 
 

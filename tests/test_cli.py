@@ -109,3 +109,30 @@ def test_compute_stats_cli(data_root, tmp_path):
     assert stats["train"]["num_tasks"] == 3
     assert stats["test"]["num_tasks"] == 1
     assert stats["num_unique_molecules"] > 0
+
+
+def test_dkt_train_resume(data_root, tmp_path):
+    """Mid-run resume: continue from fully_trained and produce a later
+    fully_trained checkpoint (capability the reference lacks)."""
+    import json
+
+    from adkf_ift_tpu.cli import dkt_train
+
+    save = str(tmp_path / "out")
+    dkt_train.main([data_root, "--save-dir", save, "--lr", "1e-3"]
+                   + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        step0 = json.load(f)["step"]
+
+    # Strip the fixture's --num_train_steps so our later value wins.
+    tail = list(TINY_TRAIN_FLAGS)
+    i = tail.index("--num_train_steps")
+    del tail[i : i + 2]
+    save2 = str(tmp_path / "out2")
+    dkt_train.main([data_root, "--save-dir", save2, "--lr", "1e-3",
+                    "--resume-from", ckpt, "--num_train_steps", str(step0 + 2)]
+                   + TINY_ENCODER_FLAGS + tail)
+    ckpt2 = _latest_ckpt(save2)
+    with open(os.path.join(ckpt2, "meta.json")) as f:
+        assert json.load(f)["step"] == step0 + 2
