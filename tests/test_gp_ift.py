@@ -141,3 +141,47 @@ def test_ift_correction_term_matches_manual_solve():
         jax.grad(lambda x_: _outer(x_, ys, xq, yq))(xs)
     )
     assert np.allclose(auto, manual, rtol=1e-3, atol=1e-5)
+
+
+def test_ard_fit_and_ift_via_cg():
+    """ARD lengthscales: inner dim = d + 2 exceeds the dense-Hessian
+    threshold, so the IFT backward solves via CG on HVPs."""
+    import numpy as np
+
+    from adkf_ift_tpu.gp import (
+        ExactGPConfig, GPPriorConfig, KernelConfig, LBFGSConfig,
+        fit_gp_implicit, flatten_gp_params, init_raw_params,
+        median_lengthscale_init, mode_to_loc, noise_to_raw,
+        positive_to_raw, predictive_nll, unflatten_gp_params,
+    )
+
+    d = 80  # > DENSE_HESSIAN_MAX_DIM (64) incl. noise/outputscale
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(24, d).astype(np.float32))
+    y = jnp.asarray(np.sign(rng.randn(24)).astype(np.float32))
+    xq = jnp.asarray(rng.randn(12, d).astype(np.float32))
+    yq = jnp.asarray(np.sign(rng.randn(12)).astype(np.float32))
+
+    cfg = ExactGPConfig(
+        kernel=KernelConfig(kind="matern", ard_dims=d),
+        priors=GPPriorConfig(noise_mode=0.1),
+    )
+    raw = init_raw_params(cfg.kernel)
+    assert raw["raw_lengthscale"].shape == (d,)
+    raw["raw_noise"] = noise_to_raw(jnp.asarray(0.1))
+    med = median_lengthscale_init(x)
+    raw["raw_lengthscale"] = positive_to_raw(jnp.broadcast_to(med, (d,)))
+    flat0 = flatten_gp_params(cfg.kernel, raw)
+    assert flat0.shape == (d + 2,)
+    opt = LBFGSConfig(max_iters=25, history=8, max_growth=3, max_backtrack=10)
+
+    def outer(feats):
+        theta = fit_gp_implicit(cfg, opt, False, feats, y, flat0, None, mode_to_loc(med))
+        return predictive_nll(
+            cfg, unflatten_gp_params(cfg.kernel, theta), feats, y, xq, yq
+        )
+
+    loss, g = jax.value_and_grad(outer)(x)
+    assert np.isfinite(float(loss))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
