@@ -136,3 +136,16 @@ def test_dkt_train_resume(data_root, tmp_path):
     ckpt2 = _latest_ckpt(save2)
     with open(os.path.join(ckpt2, "meta.json")) as f:
         assert json.load(f)["step"] == step0 + 2
+
+
+def test_par_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import par_test, par_train
+
+    save = str(tmp_path / "out")
+    par_train.main([data_root, "--save-dir", save, "--emb-dim", "16",
+                    "--map-dim", "8", "--rel-hidden-dim", "8"]
+                   + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    par_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                   "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
