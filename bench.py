@@ -80,7 +80,7 @@ def main():
     state = init_train_state(params, optimizer)
     # Sweep-derived defaults on v5e: small flat chunks without remat win
     # (the device is bytes-bound; rematerialization re-reads the forward).
-    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "2"))
+    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "1"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     step_fn = make_meta_train_step(
         lambda p, e: adkf.episode_outer_loss(config, p, e),
