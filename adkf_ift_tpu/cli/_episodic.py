@@ -58,6 +58,11 @@ def add_episodic_train_args(parser: argparse.ArgumentParser, defaults=None) -> N
         "state + step counter; capability the reference lacks, SURVEY.md §5).",
     )
     parser.add_argument("--num-reader-workers", type=int, default=4)
+    parser.add_argument(
+        "--checkpoint-backend", type=str, default="flax", choices=["flax", "orbax"],
+        help="Array serialization backend; orbax saves async and "
+        "understands sharded jax.Arrays (multi-host).",
+    )
 
 
 def make_validation_fn(
@@ -120,6 +125,7 @@ def run_episodic_training(
         query_set_size=args.query_set_size,
         validate_every_num_steps=args.validate_every,
         num_reader_workers=args.num_reader_workers,
+        checkpoint_backend=getattr(args, "checkpoint_backend", "flax"),
     )
     spec = EpisodeSpec(
         support_size=loop_cfg.support_set_size, query_size=loop_cfg.query_set_size

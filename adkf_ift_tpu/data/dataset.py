@@ -91,11 +91,19 @@ class FSMolDataset:
         repeat: bool = False,
         reader_chunk_size: int = 1,
         num_workers: Optional[int] = None,
+        shard: Optional[tuple] = None,
     ) -> Iterable[T]:
         """Iterate reader_fn outputs over per-task files, optionally with
         background-thread prefetch (the num_workers>0 analogue of the
-        reference's multiprocess BufferedFileReaderIterable)."""
+        reference's multiprocess BufferedFileReaderIterable).
+
+        `shard=(index, count)` stripes the task-file list across hosts
+        (multi-host data loading: each process reads a disjoint subset;
+        the reference is single-process and has no counterpart)."""
         paths = self.fold_to_paths.get(data_fold, [])
+        if shard is not None:
+            index, count = shard
+            paths = paths[index::count]
         reader = task_reader_fn or _default_reader
         workers = self.num_workers if num_workers is None else num_workers
         if workers and workers > 0:

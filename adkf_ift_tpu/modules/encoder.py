@@ -36,14 +36,23 @@ class GraphFeatureExtractor(nn.Module):
     config: GraphFeatureExtractorConfig
 
     @nn.compact
-    def __call__(self, batch: PackedGraphs, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, batch, deterministic: bool = True) -> jnp.ndarray:
+        """`batch` is a PackedGraphs (flat mega-graph) or a DenseBlocks
+        (per-graph [G, N] blocks, ops/dense_block.py); both layouts share
+        one parameter set."""
         cfg = self.config
+        dense = batch.node_features.ndim == 3
         x = nn.Dense(cfg.gnn_config.hidden_dim, use_bias=False, name="init_node_proj")(
             batch.node_features
         )
-        states = GNN(cfg.gnn_config, name="gnn")(
-            x, batch.edge_sources, batch.edge_targets, batch.edge_mask, deterministic
-        )
+        if dense:
+            states = GNN(cfg.gnn_config, name="gnn")(
+                x, batch.in_src, None, batch.in_mask, deterministic
+            )
+        else:
+            states = GNN(cfg.gnn_config, name="gnn")(
+                x, batch.edge_sources, batch.edge_targets, batch.edge_mask, deterministic
+            )
         if cfg.readout_config.use_all_states:
             # The all-states concat is the widest activation in the model
             # ([V, (L+1)*hidden]); store it in the readout's compute dtype.
@@ -55,7 +64,7 @@ class GraphFeatureExtractor(nn.Module):
 
         num_graphs = batch.num_graphs
         mol = make_readout(cfg.readout_config)(
-            node_repr, batch.node_to_graph, batch.node_mask, num_graphs
+            node_repr, None if dense else batch.node_to_graph, batch.node_mask, num_graphs
         )
         if cfg.output_norm == "layer":
             mol = nn.LayerNorm(name="final_norm")(mol)

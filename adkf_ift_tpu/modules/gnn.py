@@ -259,6 +259,183 @@ class RelationalMultiHeadAttentionMP(nn.Module):
         return agg  # [V, h*d]
 
 
+def _onehot_gather(x: jnp.ndarray, in_src: jnp.ndarray, in_mask: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-slot source states as a one-hot batched matmul:
+    [G, N, K, N_src] @ [G, N_src, D] -> [G, N, K, D] — MXU work instead
+    of a gather. Padded slots (mask 0) gather exact zeros."""
+    n = x.shape[1]
+    onehot = (in_src[..., None] == jnp.arange(n, dtype=in_src.dtype)).astype(x.dtype)
+    onehot = onehot * in_mask[..., None].astype(x.dtype)
+    return jnp.einsum("gnks,gsd->gnkd", onehot, x)
+
+
+class DenseRelationalMP(nn.Module):
+    """Plain relational MP on the dense-block layout (ops/dense_block.py):
+    identical math and parameter names as RelationalMP, but the gather is
+    a one-hot matmul and aggregation is a masked reduction over the K
+    incoming-edge slots — no scatter/segment primitives anywhere."""
+
+    config: GNNConfig
+
+    @property
+    def message_size(self) -> int:
+        return self.config.per_head_dim
+
+    def _message_dim(self) -> int:
+        return self.config.per_head_dim
+
+    def aggregate(self, messages, mask, towers):
+        # messages: [G, N, K, towers, msg]; mask: [G, N, K]
+        return jnp.sum(messages * mask[..., None, None].astype(messages.dtype), axis=2)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [G, N, hidden]
+        in_src,  # per-type tuples of [G, N, K_t]
+        in_mask,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        g, n, hidden = x.shape
+        towers = cfg.num_heads
+        tower_dim = hidden // towers
+
+        per_type, masks = [], []
+        for t in range(cfg.num_edge_types):
+            k = in_src[t].shape[-1]
+            src = _onehot_gather(x, in_src[t], in_mask[t])  # [G, N, K, hidden]
+            tgt = jnp.broadcast_to(x[:, :, None, :], src.shape)
+            pairs = jnp.concatenate(
+                [
+                    src.reshape(g, n, k, towers, tower_dim),
+                    tgt.reshape(g, n, k, towers, tower_dim),
+                ],
+                axis=-1,
+            ).reshape(g * n * k, towers, 2 * tower_dim)
+            msgs = EdgeTypeMLP(
+                num_towers=towers,
+                in_dim=2 * tower_dim,
+                out_dim=self._message_dim(),
+                depth=cfg.message_function_depth,
+                dtype=cfg.compute_dtype,
+                name=f"message_fn_type{t}",
+            )(pairs)
+            per_type.append(nn.relu(msgs).reshape(g, n, k, towers, -1))
+            masks.append(in_mask[t])
+
+        all_msgs = jnp.concatenate(per_type, axis=2)  # [G, N, K_total, towers, msg]
+        all_mask = jnp.concatenate(masks, axis=2)  # [G, N, K_total]
+        agg = self.aggregate(all_msgs, all_mask, towers)
+        return agg.reshape(g, n, -1)
+
+
+class DenseRelationalMultiAggrMP(DenseRelationalMP):
+    """Sum/mean/std/max (+ PNA scalers) over the K incoming-edge slots —
+    the dense-layout twin of RelationalMultiAggrMP."""
+
+    use_pna_scalers: bool = False
+
+    @property
+    def message_size(self) -> int:
+        size = 4 * self.config.per_head_dim
+        if self.use_pna_scalers:
+            size *= 3
+        return size
+
+    def _message_dim(self) -> int:
+        return 3 * self.config.per_head_dim
+
+    def aggregate(self, messages, mask, towers):
+        m = self.config.per_head_dim
+        w = mask[..., None, None].astype(messages.dtype)  # [G, N, K, 1, 1]
+        msg_sum = messages[..., :m]
+        msg_mean = messages[..., m : 2 * m]
+        msg_max = messages[..., 2 * m : 3 * m]
+
+        count = jnp.sum(mask, axis=2)  # [G, N]
+        denom = jnp.maximum(count, 1.0)[..., None, None]
+        sum_agg = jnp.sum(msg_sum * w, axis=2)
+        mean_agg = jnp.sum(msg_mean * w, axis=2) / denom
+        # Same masked-sqrt guard as the flat aggregate (gnn.py flat path):
+        # nodes with no valid incoming edges must not see sqrt'(0) = inf.
+        per_edge_var = nn.relu(msg_mean**2 - mean_agg[:, :, None] ** 2) + SMALL_NUMBER
+        var_sum = jnp.sum(per_edge_var * w, axis=2)
+        nonzero = var_sum > 0.0
+        std_agg = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, var_sum, 1.0)), 0.0)
+        neg_inf = jnp.asarray(-jnp.inf, messages.dtype)
+        masked_max = jnp.where(w > 0, msg_max, neg_inf)
+        max_agg = jnp.max(masked_max, axis=2)
+        max_agg = jnp.where(jnp.isfinite(max_agg), max_agg, 0.0)
+
+        out = jnp.concatenate([sum_agg, mean_agg, std_agg, max_agg], axis=-1)
+        if self.use_pna_scalers:
+            log_deg = jnp.log(count + 1.0)[..., None, None]
+            amp = log_deg / PNA_DELTA
+            att = PNA_DELTA / (log_deg + SMALL_NUMBER)
+            out = jnp.concatenate([out, amp * out, att * out], axis=-1)
+        return out
+
+
+class DenseRelationalMultiHeadAttentionMP(nn.Module):
+    """Attention MP on the dense-block layout: per-type Q/K projections,
+    scores per incoming slot, masked softmax over the K axis (the flat
+    path's segment_softmax over targets). Same parameter names as
+    RelationalMultiHeadAttentionMP."""
+
+    config: GNNConfig
+
+    @property
+    def message_size(self) -> int:
+        return self.config.num_heads * self.config.per_head_dim
+
+    @nn.compact
+    def __call__(self, x, in_src, in_mask):
+        cfg = self.config
+        g, n, hidden = x.shape
+        h, d = cfg.num_heads, cfg.per_head_dim
+        scale = d**-0.5
+
+        msgs_list, scores_list, masks = [], [], []
+        for t in range(cfg.num_edge_types):
+            k = in_src[t].shape[-1]
+            src = _onehot_gather(x, in_src[t], in_mask[t])  # [G, N, K, hidden]
+            tgt = jnp.broadcast_to(x[:, :, None, :], src.shape)
+            pair = jnp.concatenate([src, tgt], axis=-1).reshape(g * n * k, 1, 2 * hidden)
+            msgs = EdgeTypeMLP(
+                num_towers=1,
+                in_dim=2 * hidden,
+                out_dim=h * d,
+                depth=cfg.message_function_depth,
+                dtype=cfg.compute_dtype,
+                name=f"message_fn_type{t}",
+            )(pair)[:, 0, :]
+            msgs = nn.relu(msgs).reshape(g, n, k, h, d)
+
+            # Project per node once, gather K/Q from the projections.
+            q = nn.Dense(h * d, use_bias=False, dtype=cfg.compute_dtype, name=f"query_proj_type{t}")(x) * scale
+            kk = nn.Dense(h * d, use_bias=False, dtype=cfg.compute_dtype, name=f"key_proj_type{t}")(x)
+            k_gath = _onehot_gather(kk, in_src[t], in_mask[t]).reshape(g, n, k, h, d)
+            scores = jnp.einsum("gnhd,gnkhd->gnkh", q.reshape(g, n, h, d), k_gath).astype(
+                jnp.float32
+            )
+            msgs_list.append(msgs)
+            scores_list.append(scores)
+            masks.append(in_mask[t])
+
+        all_msgs = jnp.concatenate(msgs_list, axis=2)  # [G, N, K_tot, h, d]
+        all_scores = jnp.concatenate(scores_list, axis=2)  # [G, N, K_tot, h]
+        all_mask = jnp.concatenate(masks, axis=2)  # [G, N, K_tot]
+
+        neg_inf = jnp.asarray(-jnp.inf, all_scores.dtype)
+        masked = jnp.where(all_mask[..., None] > 0, all_scores, neg_inf)
+        smax = jnp.max(masked, axis=2, keepdims=True)
+        smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+        ex = jnp.where(jnp.isfinite(masked), jnp.exp(masked - smax), 0.0)
+        probs = ex / jnp.maximum(jnp.sum(ex, axis=2, keepdims=True), 1e-16)
+        weighted = probs[..., None].astype(all_msgs.dtype) * all_msgs
+        return jnp.sum(weighted, axis=2).reshape(g, n, h * d)
+
+
 class BOOMLayer(nn.Module):
     """Wide-MLP sublayer (gnn.py:79-95): Linear -> LeakyReLU -> Dropout
     -> Linear."""
@@ -286,16 +463,27 @@ class GNNBlock(nn.Module):
     def __call__(self, x, edge_sources, edge_targets, edge_mask, deterministic: bool = True):
         cfg = self.config
         kind = cfg.type.lower()
+        # Dense-block layout ([G, N, hidden] states, edge_sources=in_src,
+        # edge_mask=in_mask, edge_targets unused) shares parameter names
+        # with the flat path, so one set of weights serves both layouts.
+        dense = x.ndim == 3
         if kind == "multiheadattention":
-            mp = RelationalMultiHeadAttentionMP(cfg, name="mp")
+            mp = (DenseRelationalMultiHeadAttentionMP if dense else RelationalMultiHeadAttentionMP)(
+                cfg, name="mp"
+            )
         elif kind in ("multiaggr", "pna"):
-            mp = RelationalMultiAggrMP(cfg, use_pna_scalers=(kind == "pna"), name="mp")
+            mp = (DenseRelationalMultiAggrMP if dense else RelationalMultiAggrMP)(
+                cfg, use_pna_scalers=(kind == "pna"), name="mp"
+            )
         elif kind == "plain":
-            mp = RelationalMP(cfg, name="mp")
+            mp = (DenseRelationalMP if dense else RelationalMP)(cfg, name="mp")
         else:
             raise ValueError(f"Unknown GNN type {cfg.type}")
 
-        aggregated = mp(x, edge_sources, edge_targets, edge_mask)
+        if dense:
+            aggregated = mp(x, edge_sources, edge_mask)
+        else:
+            aggregated = mp(x, edge_sources, edge_targets, edge_mask)
         new = nn.Dense(cfg.hidden_dim, dtype=cfg.compute_dtype, name="msg_out_projection")(aggregated)
         new = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(new)
         if cfg.use_rezero_scaling:

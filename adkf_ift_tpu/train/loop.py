@@ -29,7 +29,7 @@ from adkf_ift_tpu.data.samplers import SamplingException, StratifiedTaskSampler
 from adkf_ift_tpu.data.task import Task
 from adkf_ift_tpu.train.evaluation import is_valid_numeric_task
 from adkf_ift_tpu.train.meta import MetaTrainState
-from adkf_ift_tpu.utils.checkpoints import save_checkpoint
+from adkf_ift_tpu.utils.checkpoints import save_checkpoint, wait_for_async
 
 logger = logging.getLogger(__name__)
 
@@ -45,6 +45,9 @@ class TrainLoopConfig:
     num_reader_workers: int = 4
     nodes_per_graph: int = 48
     edges_per_graph: tuple = (80, 32, 16)  # per-edge-type budgets
+    # "flax" (host-local msgpack) or "orbax" (sharded-array aware, saves
+    # async so validation-time checkpointing never stalls the device).
+    checkpoint_backend: str = "flax"
 
 
 def episode_stream(
@@ -55,6 +58,7 @@ def episode_stream(
     repeat: bool = True,
     num_workers: int = 4,
     samples_per_task: int = 1,
+    shard: Optional[tuple] = None,
 ) -> Iterator[Episode]:
     """Stream padded episodes from per-task files (the analogue of
     get_dkt_task_sample_iterable, data/dkt.py:156-207)."""
@@ -104,7 +108,7 @@ def episode_stream(
 
     return iter(
         dataset.get_task_reading_iterable(
-            fold, task_reader_fn=reader_fn, repeat=repeat, num_workers=num_workers
+            fold, task_reader_fn=reader_fn, repeat=repeat, num_workers=num_workers, shard=shard
         )
     )
 
@@ -130,6 +134,12 @@ def train_loop(
         nodes_per_graph=loop_config.nodes_per_graph,
         edges_per_graph=loop_config.edges_per_graph,
     )
+    # Multi-host: each process streams a disjoint stripe of task files.
+    import jax
+
+    shard = (
+        (jax.process_index(), jax.process_count()) if jax.process_count() > 1 else None
+    )
     stream = episode_stream(
         dataset,
         DataFold.TRAIN,
@@ -137,10 +147,15 @@ def train_loop(
         regression=regression,
         repeat=True,
         num_workers=loop_config.num_reader_workers,
+        shard=shard,
     )
 
+    backend = loop_config.checkpoint_backend
+    use_async = backend == "orbax"
     best_validation_score = -np.inf
-    save_checkpoint(os.path.join(out_dir, "best_validation"), model_config, state.params)
+    save_checkpoint(
+        os.path.join(out_dir, "best_validation"), model_config, state.params, backend=backend
+    )
 
     window_losses = []
     t_window = time.perf_counter()
@@ -170,20 +185,26 @@ def train_loop(
             logger.info("validated at step %d: %.4f", step, score)
             if score > best_validation_score:
                 best_validation_score = score
+                wait_for_async()  # never two in-flight saves to one dir
                 save_checkpoint(
                     os.path.join(out_dir, "best_validation"),
                     model_config,
                     state.params,
                     opt_state=state.opt_state,
                     step=step,
+                    backend=backend,
+                    async_save=use_async,
                 )
                 logger.info("new best model at step %d (%.4f)", step, score)
 
+    wait_for_async()  # drain in-flight async saves before the final overwrite
     save_checkpoint(
         os.path.join(out_dir, "fully_trained"),
         model_config,
         state.params,
         opt_state=state.opt_state,
         step=loop_config.num_train_steps,
+        backend=backend,
     )
+    wait_for_async()
     return state

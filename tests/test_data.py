@@ -157,6 +157,18 @@ def test_dataset_task_list_filter(tmp_path):
     assert ds.get_num_fold_tasks(DataFold.VALIDATION) == 0
 
 
+def test_dataset_host_sharding_is_a_partition(tmp_path):
+    """shard=(i, n) stripes the task files: every task lands on exactly
+    one shard (the multi-host data-loading contract)."""
+    root = make_dataset_dir(str(tmp_path), num_train=5, num_valid=0, num_test=0, samples_per_task=20)
+    ds = FSMolDataset.from_directory(root)
+    seen = []
+    for i in range(2):
+        tasks = list(ds.get_task_reading_iterable(DataFold.TRAIN, shard=(i, 2)))
+        seen.extend(t.name for t in tasks)
+    assert sorted(seen) == sorted(ds.get_task_names(DataFold.TRAIN))
+
+
 def test_background_reader_yields_everything(tmp_path):
     root = make_dataset_dir(str(tmp_path), num_train=5, num_valid=0, num_test=0, samples_per_task=16)
     ds = FSMolDataset.from_directory(root)

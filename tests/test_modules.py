@@ -93,6 +93,88 @@ def test_readout_types(readout):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.parametrize("gnn_type", ["PNA", "MultiAggr", "Plain", "MultiHeadAttention"])
+def test_dense_block_layout_matches_flat(gnn_type):
+    """The dense-block layout (ops/dense_block.py: [G, N] node blocks,
+    one-hot MXU gathers, masked K-axis aggregation, dense readout
+    pooling) computes the SAME function as the flat mega-graph layout
+    under the SAME parameters, for every MP family + combined readout."""
+    from adkf_ift_tpu.ops.dense_block import flat_to_dense
+
+    _, packed = _packed(num=6, seed=0)
+    dense = flat_to_dense(packed, nodes_per_graph=48, k_per_type=(8, 6, 6))
+    cfg = GraphFeatureExtractorConfig(
+        gnn_config=GNNConfig(
+            type=gnn_type, num_layers=2, hidden_dim=32, num_heads=2, per_head_dim=8,
+            intermediate_dim=64, dtype="float32", remat_blocks=False,
+        ),
+        readout_config=GraphReadoutConfig(num_heads=2, head_dim=8, output_dim=16, dtype="float32"),
+    )
+    model = GraphFeatureExtractor(cfg)
+    params = model.init(jax.random.PRNGKey(0), packed)
+    out_flat = np.asarray(model.apply(params, packed))
+    out_dense = np.asarray(model.apply(params, dense))
+    assert out_flat.shape == out_dense.shape == (6, 16)
+    assert np.allclose(out_flat, out_dense, atol=2e-4), np.abs(out_flat - out_dense).max()
+
+
+def test_combined_readout_fused_matches_unfused():
+    """The fused CombinedReadout (one wide matmul + batched branch
+    einsums + single pooled segment_sum) computes EXACTLY the reference
+    composition: weighted_mean ++ weighted_sum ++ max -> relu -> linear
+    (graph_readout.py:119-177). Map the fused params onto two standalone
+    MultiHeadWeightedReadouts and compare."""
+    from flax import linen as nn
+
+    from adkf_ift_tpu.modules.readout import (
+        CombinedReadout,
+        MultiHeadWeightedReadout,
+        UnweightedReadout,
+    )
+
+    rng = np.random.RandomState(7)
+    v, d, g, nh, hd, out = 23, 12, 4, 2, 3, 5
+    w = nh * hd
+    x = jnp.asarray(rng.randn(v, d).astype(np.float32))
+    ids_np = rng.randint(0, g, v)
+    mask_np = (rng.rand(v) > 0.25).astype(np.float32)
+    ids_np[mask_np == 0] = g  # padded nodes go to the dummy slot
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+    fused = CombinedReadout(out, nh, hd, dtype=jnp.float32)
+    fp = fused.init(jax.random.PRNGKey(0), x, ids, mask, g)["params"]
+    got = np.asarray(fused.apply({"params": fp}, x, ids, mask, g))
+
+    def branch_params(score_idx, value_idx):
+        return {
+            "scoring": {
+                "hidden0": {
+                    "kernel": fp["fused_hidden_w"][:, score_idx * w : (score_idx + 1) * w],
+                    "bias": fp["fused_hidden_b"][score_idx * w : (score_idx + 1) * w],
+                },
+                "out": {"kernel": fp["scores_w"][score_idx], "bias": fp["scores_b"][score_idx]},
+            },
+            "transform": {
+                "hidden0": {
+                    "kernel": fp["fused_hidden_w"][:, value_idx * w : (value_idx + 1) * w],
+                    "bias": fp["fused_hidden_b"][value_idx * w : (value_idx + 1) * w],
+                },
+                "out": {"kernel": fp["values_w"][score_idx], "bias": fp["values_b"][score_idx]},
+            },
+            "combination": {"kernel": fp["branch_combination_w"][score_idx]},
+        }
+
+    mean_mod = MultiHeadWeightedReadout(out, nh, hd, "weighted_mean", dtype=jnp.float32)
+    sum_mod = MultiHeadWeightedReadout(out, nh, hd, "weighted_sum", dtype=jnp.float32)
+    max_mod = UnweightedReadout(out, "max")
+    mean_r = mean_mod.apply({"params": branch_params(0, 2)}, x, ids, mask, g)
+    sum_r = sum_mod.apply({"params": branch_params(1, 3)}, x, ids, mask, g)
+    max_r = max_mod.apply({"params": fp["max_pool"]}, x, ids, mask, g)
+    raw = nn.relu(jnp.concatenate([mean_r, sum_r, max_r], axis=1))
+    want = np.asarray(raw @ fp["combination"]["kernel"])
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
 def test_padding_invariance():
     """Same molecules packed under different budgets give identical embeddings."""
     task, packed_small = _packed(num=4, seed=3)

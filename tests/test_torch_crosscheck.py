@@ -143,6 +143,85 @@ def _torch_predictive_nll(tx, ty, txq, tyq, theta):
     )
 
 
+def test_vgp_elbo_and_predictive_match_torch():
+    """Our VGP probit-ELBO + unwhitened predictive (gp/variational.py) vs
+    an independent torch implementation of the reference's variational
+    stack (gpytorch CholeskyVariationalDistribution +
+    UnwhitenedVariationalStrategy + Bernoulli VariationalELBO,
+    fs_mol/utils/gp_utils.py:52-103): KL against N(0, Kss), Gauss-Hermite
+    expected probit log-likelihood, and q(f_*) moments."""
+    from adkf_ift_tpu.gp.variational import (
+        VGPConfig,
+        VGPParams,
+        flatten_vgp,
+        vgp_elbo,
+        vgp_predict,
+    )
+
+    rng = np.random.RandomState(11)
+    s, d, q = 12, 5, 7
+    x = rng.randn(s, d).astype(np.float64)
+    xq = rng.randn(q, d).astype(np.float64)
+    y = np.sign(rng.randn(s)).astype(np.float64)
+    m0 = 0.3 * rng.randn(s)
+    l0 = np.tril(0.1 * rng.randn(s, s)) + np.diag(0.5 + rng.rand(s))
+    raw_os, raw_ls = 0.4, 0.7
+    jitter = 1e-4
+
+    cfg = VGPConfig(
+        kernel=KernelConfig(kind="matern"), num_inducing=s, jitter=jitter,
+        use_lengthscale_prior=False,
+    )
+    with jax.enable_x64(True):
+        flat = flatten_vgp(
+            cfg,
+            VGPParams(
+                jnp.asarray(m0), jnp.asarray(l0),
+                {"raw_outputscale": jnp.asarray(raw_os), "raw_lengthscale": jnp.asarray(raw_ls)},
+            ),
+        )
+        ours_elbo = float(vgp_elbo(cfg, flat, jnp.asarray(x), jnp.asarray(y)))
+        mu_ours, var_ours = vgp_predict(cfg, flat, jnp.asarray(x), jnp.asarray(xq))
+        mu_ours, var_ours = np.asarray(mu_ours), np.asarray(var_ours)
+
+    # --- independent torch implementation
+    tx, txq, ty = torch.tensor(x), torch.tensor(xq), torch.tensor(y)
+    tm, tl = torch.tensor(m0), torch.tensor(l0)
+    outputscale = torch.nn.functional.softplus(torch.tensor(raw_os, dtype=torch.float64))
+    lengthscale = torch.nn.functional.softplus(torch.tensor(raw_ls, dtype=torch.float64))
+    kss = _torch_matern52(tx, tx, lengthscale, outputscale) + jitter * torch.eye(s, dtype=tx.dtype)
+    lp = torch.linalg.cholesky(kss)
+
+    # KL(q || N(0, Kss))
+    a = torch.linalg.solve_triangular(lp, tl, upper=False)
+    b = torch.linalg.solve_triangular(lp, tm[:, None], upper=False)[:, 0]
+    kl = 0.5 * (
+        (a * a).sum() + (b * b).sum() - s
+        + 2.0 * torch.log(torch.diagonal(lp)).sum()
+        - 2.0 * torch.log(torch.diagonal(tl).abs()).sum()
+    )
+    # Expected probit log-likelihood by Gauss-Hermite (training points are
+    # the inducing points, so q(f_i) = N(m_i, (L L^T)_ii)).
+    var_q = (tl * tl).sum(1)
+    nodes, weights = np.polynomial.hermite.hermgauss(20)
+    f = tm[:, None] + torch.sqrt(2.0 * var_q)[:, None] * torch.tensor(nodes)[None, :]
+    logp = torch.special.log_ndtr(ty[:, None] * f)
+    ell = (torch.tensor(weights)[None, :] / math.sqrt(math.pi) * logp).sum()
+    theirs_elbo = float((ell - kl) / s)
+    assert abs(ours_elbo - theirs_elbo) < 1e-6, (ours_elbo, theirs_elbo)
+
+    # Unwhitened predictive q(f_*)
+    kqs = _torch_matern52(txq, tx, lengthscale, outputscale)
+    kqq = _torch_matern52(txq, txq, lengthscale, outputscale)
+    av = torch.cholesky_solve(kqs.T, lp)  # Kss^-1 Ksq
+    mu_t = (av.T @ tm).numpy()
+    tmp = torch.linalg.solve_triangular(lp, kqs.T, upper=False)
+    sa = tl.T @ av
+    var_t = (torch.diagonal(kqq) - (tmp * tmp).sum(0) + (sa * sa).sum(0)).numpy()
+    np.testing.assert_allclose(mu_ours, mu_t, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(var_ours, var_t, rtol=1e-8, atol=1e-8)
+
+
 def test_ift_hypergradient_matches_torch_cauchy():
     """Our custom_vjp IFT backward vs an independent torch implementation
     of the same mathematics (the reference's cauchy_hypergradient.py:

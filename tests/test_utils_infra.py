@@ -4,6 +4,7 @@ import logging
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from adkf_ift_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
@@ -36,6 +37,44 @@ def test_checkpoint_roundtrip(tmp_path):
     template = {"layer": {"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))}}
     _, restored2, _, _ = load_checkpoint(path, params_template=template)
     np.testing.assert_array_equal(np.asarray(restored2["layer"]["b"]), np.ones(3))
+
+
+def test_checkpoint_orbax_backend_roundtrip(tmp_path):
+    """Orbax array backend behind the same save/load API: sync + async
+    saves, template-free restore (optax namedtuple opt_state rebuilt from
+    the pickled skeleton), and backend auto-detection on load."""
+    import optax
+
+    from adkf_ift_tpu.models.gpst import GPSTConfig
+    from adkf_ift_tpu.utils.checkpoints import wait_for_async
+
+    params = {"layer": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}}
+    opt_state = optax.adam(1e-3).init(params)
+    path = str(tmp_path / "ckpt_ocp")
+    save_checkpoint(
+        path, GPSTConfig(use_numeric_labels=True), params,
+        opt_state=opt_state, step=7, backend="orbax",
+    )
+
+    cfg, restored, opt, step = load_checkpoint(path)
+    assert cfg.use_numeric_labels is True and step == 7
+    np.testing.assert_array_equal(np.asarray(restored["layer"]["w"]), np.arange(6.0).reshape(2, 3))
+    # Template-free restore rebuilds the optax state structure exactly.
+    assert jax.tree.structure(opt) == jax.tree.structure(opt_state), (opt, opt_state)
+    np.testing.assert_array_equal(np.asarray(opt[0].mu["layer"]["b"]), np.zeros(3))
+
+    # Async save overwrites the same directory; wait_for_async commits it.
+    params2 = jax.tree.map(lambda x: x + 1.0, params)
+    save_checkpoint(
+        path, GPSTConfig(), params2, opt_state=opt_state, step=8,
+        backend="orbax", async_save=True,
+    )
+    wait_for_async()
+    _, restored2, _, step2 = load_checkpoint(path)
+    assert step2 == 8
+    np.testing.assert_array_equal(
+        np.asarray(restored2["layer"]["b"]), np.full(3, 2.0)
+    )
 
 
 def test_metric_logger_windows_and_history():
