@@ -81,6 +81,15 @@ class FSMolDataset:
     def get_num_fold_tasks(self, fold: DataFold) -> int:
         return len(self.fold_to_paths.get(fold, []))
 
+    def get_fold_paths(self, fold: DataFold, shard: Optional[tuple] = None) -> List[str]:
+        """Per-task file paths of a fold; `shard=(index, count)` stripes
+        them across hosts (see get_task_reading_iterable)."""
+        paths = self.fold_to_paths.get(fold, [])
+        if shard is not None:
+            index, count = shard
+            paths = paths[index::count]
+        return paths
+
     def get_task_names(self, fold: DataFold) -> List[str]:
         return [task_name_from_path(p) for p in self.fold_to_paths.get(fold, [])]
 
@@ -100,10 +109,7 @@ class FSMolDataset:
         `shard=(index, count)` stripes the task-file list across hosts
         (multi-host data loading: each process reads a disjoint subset;
         the reference is single-process and has no counterpart)."""
-        paths = self.fold_to_paths.get(data_fold, [])
-        if shard is not None:
-            index, count = shard
-            paths = paths[index::count]
+        paths = self.get_fold_paths(data_fold, shard)
         reader = task_reader_fn or _default_reader
         workers = self.num_workers if num_workers is None else num_workers
         if workers and workers > 0:

@@ -102,6 +102,16 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(iptr), ctypes.POINTER(iptr), ctypes.POINTER(fptr),
             fptr, fptr, fptr, fptr, dptr, i32,
         ]
+        lib.fsmol_task_name.restype = ctypes.c_char_p
+        lib.fsmol_task_name.argtypes = [vp]
+        lib.fsmol_queue_create.restype = vp
+        lib.fsmol_queue_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i32, i32, i32, i32, i32, ctypes.c_int64,
+        ]
+        lib.fsmol_queue_next.restype = vp
+        lib.fsmol_queue_next.argtypes = [vp, ctypes.POINTER(ctypes.c_int64)]
+        lib.fsmol_queue_destroy.restype = None
+        lib.fsmol_queue_destroy.argtypes = [vp]
         _lib = lib
         return _lib
 
@@ -113,16 +123,25 @@ def native_available() -> bool:
 class NativeTask:
     """Handle over a natively parsed task file."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: Optional[str], _handle=None):
         lib = load_native()
         if lib is None:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
-        self._handle = lib.fsmol_load_task(path.encode())
-        if not self._handle:
-            raise IOError(f"native loader could not parse {path}")
-        self.num_molecules = lib.fsmol_num_molecules(self._handle)
-        self.name = os.path.basename(path).split(".jsonl")[0]
+        if _handle is not None:
+            self._handle = _handle
+            self.name = lib.fsmol_task_name(ctypes.c_void_p(_handle)).decode()
+        else:
+            self._handle = lib.fsmol_load_task(path.encode())
+            if not self._handle:
+                raise IOError(f"native loader could not parse {path}")
+            self.name = os.path.basename(path).split(".jsonl")[0]
+        self.num_molecules = lib.fsmol_num_molecules(ctypes.c_void_p(self._handle))
+
+    @classmethod
+    def from_handle(cls, handle) -> "NativeTask":
+        """Adopt ownership of a Task handle (e.g. from NativeTaskQueue)."""
+        return cls(None, _handle=handle)
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -197,6 +216,60 @@ class NativeTask:
             graph_mask=graph_mask,
         )
         return packed, bool_labels, numeric_labels
+
+
+class NativeTaskQueue:
+    """C++ prefetching task queue (native/fsmol_loader.cc fsmol_queue_*):
+    worker threads dispense paths, gzip+JSON-parse tasks, and buffer them
+    in a bounded queue entirely outside the Python runtime — the
+    reference's BufferedFileReaderIterable data plane with no processes,
+    no pickling, and no GIL. Iterating yields (NativeTask, idx) pairs
+    where idx follows the BackgroundReader contract
+    (epoch * num_paths + position) for seeded episode sampling."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        num_workers: int = 4,
+        capacity: int = 16,
+        repeat: bool = False,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        encoded = [p.encode() for p in paths]
+        arr = (ctypes.c_char_p * len(encoded))(*encoded)
+        self._handle = lib.fsmol_queue_create(
+            arr, len(encoded), num_workers, capacity,
+            1 if repeat else 0, 1 if shuffle else 0, seed,
+        )
+        if not self._handle:
+            raise RuntimeError("fsmol_queue_create failed")
+
+    def __iter__(self):
+        while True:
+            idx = ctypes.c_int64()
+            handle = self._lib.fsmol_queue_next(
+                ctypes.c_void_p(self._handle), ctypes.byref(idx)
+            )
+            if not handle:
+                return
+            yield NativeTask.from_handle(handle), int(idx.value)
+
+    def close(self):
+        # ctypes may already be torn down at interpreter shutdown.
+        if getattr(self, "_handle", None) and ctypes is not None:
+            self._lib.fsmol_queue_destroy(ctypes.c_void_p(self._handle))
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — never raise from interpreter teardown
+            pass
 
 
 def stratified_episode_native(

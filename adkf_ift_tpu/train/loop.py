@@ -69,8 +69,7 @@ def episode_stream(
 
     use_native = native_loader.native_available()
 
-    def native_episodes(path, idx):
-        task = native_loader.NativeTask(path)
+    def native_task_episodes(task, idx):
         if regression and not native_loader.is_valid_numeric_task_native(task):
             return
         for k in range(samples_per_task):
@@ -80,6 +79,9 @@ def episode_stream(
                 )
             except (SamplingException, ValueError) as e:
                 logger.debug("%s: native sampling failed (%s)", task.name, e)
+
+    def native_episodes(path, idx):
+        yield from native_task_episodes(native_loader.NativeTask(path), idx)
 
     def python_episodes(path, idx):
         task = Task.load_from_file(path)
@@ -95,6 +97,27 @@ def episode_stream(
                 yield build_episode(sample, spec, regression=regression)
             except Exception as e:  # noqa: BLE001 — budget overflows etc.
                 logger.debug("%s: packing failed (%s)", task.name, e)
+
+    if use_native and num_workers > 0:
+        # Fully-native data plane: path dispensing + gzip/JSON parse +
+        # bounded buffering in C++ worker threads (fsmol_queue_*), the
+        # Python side only samples/packs episodes from parsed tasks.
+        paths = dataset.get_fold_paths(fold, shard)
+
+        def native_queue_stream():
+            queue = native_loader.NativeTaskQueue(
+                paths, num_workers=num_workers, repeat=repeat
+            )
+            try:
+                for task, idx in queue:
+                    try:
+                        yield from native_task_episodes(task, idx)
+                    except Exception:  # noqa: BLE001 — skip bad tasks, keep streaming
+                        logger.exception("Failed episodes for task %s", task.name)
+            finally:
+                queue.close()
+
+        return native_queue_stream()
 
     def reader_fn(paths, idx):
         for path in paths:

@@ -12,11 +12,18 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <random>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -189,6 +196,7 @@ struct Molecule {
 
 struct Task {
   std::vector<Molecule> molecules;
+  std::string name;
 };
 
 bool parse_graph(Cursor& c, Molecule* mol) {
@@ -288,7 +296,18 @@ void* fsmol_load_task(const char* path) {
   }
   gzclose(f);
   if (task->molecules.empty()) { delete task; return nullptr; }
+  // Task name = basename up to ".jsonl" (task_name_from_path semantics).
+  std::string base(path);
+  size_t slash = base.find_last_of('/');
+  if (slash != std::string::npos) base = base.substr(slash + 1);
+  size_t ext = base.find(".jsonl");
+  if (ext != std::string::npos) base = base.substr(0, ext);
+  task->name = base;
   return task;
+}
+
+const char* fsmol_task_name(void* handle) {
+  return static_cast<Task*>(handle)->name.c_str();
 }
 
 void fsmol_free_task(void* handle) { delete static_cast<Task*>(handle); }
@@ -426,6 +445,139 @@ int32_t fsmol_pack(
     node_offset += v;
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Prefetching task queue — the reference's BufferedFileReaderIterable
+// (fs_mol/data/file_reader_iterable.py:63-311: N workers, bounded output
+// queue, per-epoch shuffle, skip-unreadable-and-continue, repeat) moved
+// entirely into C++ worker threads: path dispensing, gzip+JSON parsing,
+// and buffering all happen off the Python thread (no GIL involvement).
+// Each popped task carries the same idx contract as the Python
+// BackgroundReader (epoch * num_paths + position) so seeded episode
+// sampling is unchanged.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct TaskQueue {
+  std::vector<std::string> paths;
+  int capacity = 16;
+  bool repeat = false;
+  bool do_shuffle = true;
+  int64_t seed = 0;
+
+  std::mutex mu;
+  std::condition_variable cv_pop;   // consumer waits: item available / all done
+  std::condition_variable cv_push;  // workers wait: queue below capacity
+  std::deque<std::pair<Task*, int64_t>> items;
+  std::vector<size_t> order;
+  size_t pos = 0;
+  int64_t epoch = 0;
+  bool stopping = false;
+  int live_workers = 0;
+  std::vector<std::thread> threads;
+
+  void reshuffle_locked() {
+    order.resize(paths.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    if (do_shuffle) {
+      std::mt19937_64 rng(static_cast<uint64_t>(seed + epoch));
+      std::shuffle(order.begin(), order.end(), rng);
+    }
+  }
+
+  bool next_path(std::string* path, int64_t* idx) {
+    std::unique_lock<std::mutex> lk(mu);
+    if (stopping) return false;
+    if (pos >= order.size()) {
+      if (!repeat || order.empty()) return false;
+      ++epoch;
+      pos = 0;
+      reshuffle_locked();
+    }
+    *idx = epoch * static_cast<int64_t>(order.empty() ? 1 : order.size()) +
+           static_cast<int64_t>(pos);
+    *path = paths[order[pos]];
+    ++pos;
+    return true;
+  }
+
+  void work_loop() {
+    std::string path;
+    int64_t idx;
+    while (next_path(&path, &idx)) {
+      Task* t = static_cast<Task*>(fsmol_load_task(path.c_str()));
+      if (t == nullptr) continue;  // unreadable file: skip, keep streaming
+      std::unique_lock<std::mutex> lk(mu);
+      cv_push.wait(lk, [&] { return stopping || static_cast<int>(items.size()) < capacity; });
+      if (stopping) {
+        lk.unlock();
+        delete t;
+        return;
+      }
+      items.emplace_back(t, idx);
+      cv_pop.notify_one();
+    }
+  }
+
+  void worker() {
+    work_loop();
+    std::unique_lock<std::mutex> lk(mu);
+    --live_workers;
+    if (live_workers == 0) cv_pop.notify_all();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fsmol_queue_create(
+    const char** paths, int32_t n_paths, int32_t n_workers,
+    int32_t capacity, int32_t repeat, int32_t shuffle, int64_t seed) {
+  auto* q = new TaskQueue();
+  q->paths.reserve(n_paths);
+  for (int32_t i = 0; i < n_paths; ++i) q->paths.emplace_back(paths[i]);
+  q->capacity = capacity > 0 ? capacity : 16;
+  q->repeat = repeat != 0;
+  q->do_shuffle = shuffle != 0;
+  q->seed = seed;
+  q->reshuffle_locked();  // no threads yet, lock not needed
+  const int workers = n_workers > 0 ? n_workers : 1;
+  q->live_workers = workers;
+  for (int i = 0; i < workers; ++i) q->threads.emplace_back([q] { q->worker(); });
+  return q;
+}
+
+// Blocks until a task is available; returns nullptr when the stream is
+// exhausted (non-repeat) or the queue was destroyed. The caller owns the
+// returned Task handle (free with fsmol_free_task).
+void* fsmol_queue_next(void* handle, int64_t* idx_out) {
+  auto* q = static_cast<TaskQueue*>(handle);
+  std::unique_lock<std::mutex> lk(q->mu);
+  q->cv_pop.wait(lk, [&] { return q->stopping || !q->items.empty() || q->live_workers == 0; });
+  if (q->items.empty()) return nullptr;
+  auto item = q->items.front();
+  q->items.pop_front();
+  q->cv_push.notify_one();
+  if (idx_out != nullptr) *idx_out = item.second;
+  return item.first;
+}
+
+void fsmol_queue_destroy(void* handle) {
+  auto* q = static_cast<TaskQueue*>(handle);
+  {
+    std::unique_lock<std::mutex> lk(q->mu);
+    q->stopping = true;
+  }
+  q->cv_push.notify_all();
+  q->cv_pop.notify_all();
+  for (auto& t : q->threads) t.join();
+  for (auto& item : q->items) delete item.first;
+  delete q;
 }
 
 }  // extern "C"
