@@ -122,6 +122,42 @@ class CombinedFeatureConfig:
         return dim
 
 
+def flatten_stacked_dense(stacked):
+    """Dense-block twin of flatten_stacked: a stacked [C, G, N, ...]
+    batch of DenseBlocks IS already disconnected per graph — flattening
+    is a pure reshape [C, G, ...] -> [C*G, ...]."""
+    from adkf_ift_tpu.ops.dense_block import DenseBlocks
+
+    c, g = stacked.graph_mask.shape[:2]
+    flat2 = lambda a: a.reshape((c * g,) + a.shape[2:])
+    return DenseBlocks(
+        node_features=flat2(stacked.node_features),
+        node_mask=flat2(stacked.node_mask),
+        in_src=tuple(flat2(s) for s in stacked.in_src),
+        in_mask=tuple(flat2(m) for m in stacked.in_mask),
+        fingerprints=flat2(stacked.fingerprints),
+        descriptors=flat2(stacked.descriptors),
+        graph_mask=stacked.graph_mask.reshape(-1),
+    )
+
+
+def combine_dense(support, query):
+    """Dense-block twin of combine_packed: concatenate along the graph
+    axis (support graphs first)."""
+    from adkf_ift_tpu.ops.dense_block import DenseBlocks
+
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    return DenseBlocks(
+        node_features=cat(support.node_features, query.node_features),
+        node_mask=cat(support.node_mask, query.node_mask),
+        in_src=tuple(cat(a, b) for a, b in zip(support.in_src, query.in_src)),
+        in_mask=tuple(cat(a, b) for a, b in zip(support.in_mask, query.in_mask)),
+        fingerprints=cat(support.fingerprints, query.fingerprints),
+        descriptors=cat(support.descriptors, query.descriptors),
+        graph_mask=cat(support.graph_mask, query.graph_mask),
+    )
+
+
 def flatten_stacked(stacked: PackedGraphs) -> PackedGraphs:
     """Flatten a stacked [C, ...] batch of packed mega-graphs into ONE
     mega-graph of C× the graphs.
@@ -195,21 +231,23 @@ class CombinedFeatureExtractor(nn.Module):
 
     config: CombinedFeatureConfig
 
-    def apply_pair(self, params, support: PackedGraphs, query: PackedGraphs):
+    def apply_pair(self, params, support, query):
         """Encode support and query in ONE combined forward; returns
-        (support_features [S, D], query_features [Q, D])."""
-        combined = combine_packed(support, query)
+        (support_features [S, D], query_features [Q, D]). Accepts either
+        layout (PackedGraphs / DenseBlocks)."""
+        dense = support.node_features.ndim == 3
+        combined = (combine_dense if dense else combine_packed)(support, query)
         feats = self.apply(params, combined)
         return feats[: support.num_graphs], feats[support.num_graphs :]
 
-    def apply_pair_batch(self, params, support: PackedGraphs, query: PackedGraphs):
+    def apply_pair_batch(self, params, support, query):
         """Encode a STACKED [C, ...] batch of support/query pairs in one
         flat forward (see flatten_stacked); returns ([C, S, D], [C, Q, D])."""
-        c, s = support.graph_mask.shape
+        c, s = support.graph_mask.shape[:2]
         q = query.graph_mask.shape[1]
-        flat_s = flatten_stacked(support)
-        flat_q = flatten_stacked(query)
-        fs, fq = self.apply_pair(params, flat_s, flat_q)
+        dense = support.node_features.ndim == 4  # stacked dense blocks
+        flatten = flatten_stacked_dense if dense else flatten_stacked
+        fs, fq = self.apply_pair(params, flatten(support), flatten(query))
         return fs.reshape(c, s, -1), fq.reshape(c, q, -1)
 
     @nn.compact

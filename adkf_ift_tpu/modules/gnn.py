@@ -61,6 +61,14 @@ class GNNConfig:
     # task batches fit HBM (backward recomputes each block's activations).
     dtype: str = "bfloat16"
     remat_blocks: bool = True
+    # "xla" or "pallas": the fused Pallas MP kernel
+    # (ops/pallas/message_passing.py) applies on the dense-block layout
+    # for the PNA/MultiAggr families — measured 2.3x faster than the
+    # flat XLA path per MP+projection stack on v5e (benchmarks/
+    # pallas_mp_bench.py). Other families/layouts fall back to XLA.
+    mp_impl: str = "xla"
+    pallas_block_graphs: int = 16
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
     @property
     def compute_dtype(self):
@@ -480,11 +488,51 @@ class GNNBlock(nn.Module):
         else:
             raise ValueError(f"Unknown GNN type {cfg.type}")
 
-        if dense:
-            aggregated = mp(x, edge_sources, edge_mask)
+        fused = (
+            dense
+            and cfg.mp_impl == "pallas"
+            and kind in ("multiaggr", "pna")
+            and edge_targets is not None  # GNN passes the slot one-hot here
+        )
+        if fused:
+            # Fused Pallas MP+projection: create the SAME parameters by
+            # running the flax modules on a one-graph slice (outputs
+            # unused -> dead-code-eliminated), then pack them for the
+            # kernel. Grads flow to the flax params through the traced
+            # packing.
+            proj = nn.Dense(cfg.hidden_dim, dtype=cfg.compute_dtype, name="msg_out_projection")
+            probe = mp(
+                x[:1], tuple(s[:1] for s in edge_sources), tuple(m[:1] for m in edge_mask)
+            )
+            _ = proj(probe[:1])
+            from adkf_ift_tpu.ops.pallas.message_passing import (
+                fused_multiaggr_mp,
+                pack_mp_params,
+            )
+
+            block_params = {
+                "mp": mp.variables["params"],
+                "msg_out_projection": proj.variables["params"],
+            }
+            w_msg, b_msg, p_proj, b_proj = pack_mp_params(
+                block_params, cfg.num_edge_types, cfg.num_heads, cfg.per_head_dim,
+                cfg.hidden_dim, use_pna_scalers=(kind == "pna"),
+                compute_dtype=cfg.compute_dtype,
+            )
+            k_per_type = tuple(s.shape[-1] for s in edge_sources)
+            new = fused_multiaggr_mp(
+                x.astype(jnp.float32), edge_targets, w_msg, b_msg, p_proj, b_proj,
+                k_per_type=k_per_type, use_pna=(kind == "pna"),
+                block_graphs=cfg.pallas_block_graphs,
+                interpret=cfg.pallas_interpret,
+                compute_dtype=cfg.compute_dtype,
+            ).astype(cfg.compute_dtype)
         else:
-            aggregated = mp(x, edge_sources, edge_targets, edge_mask)
-        new = nn.Dense(cfg.hidden_dim, dtype=cfg.compute_dtype, name="msg_out_projection")(aggregated)
+            if dense:
+                aggregated = mp(x, edge_sources, edge_mask)
+            else:
+                aggregated = mp(x, edge_sources, edge_targets, edge_mask)
+            new = nn.Dense(cfg.hidden_dim, dtype=cfg.compute_dtype, name="msg_out_projection")(aggregated)
         new = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(new)
         if cfg.use_rezero_scaling:
             alpha = self.param("alpha", nn.initializers.constant(SMALL_NUMBER), (1,), jnp.float32)
@@ -522,6 +570,16 @@ class GNN(nn.Module):
     ) -> List[jnp.ndarray]:
         states = [node_features]
         x = node_features
+        if x.ndim == 3 and self.config.mp_impl == "pallas":
+            # Dense-block + fused Pallas MP: the kernel's masked one-hot
+            # gather matrices are static per episode — build them ONCE
+            # here and hand them to every block via the (unused in the
+            # dense layout) edge_targets argument.
+            from adkf_ift_tpu.ops.pallas.message_passing import slot_minor_onehot
+
+            edge_targets = slot_minor_onehot(
+                edge_sources, edge_mask, dtype=self.config.compute_dtype
+            )
         block_cls = GNNBlock
         if self.config.remat_blocks:
             # Per-block rematerialization: backward recomputes each block's

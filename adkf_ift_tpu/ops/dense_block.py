@@ -61,6 +61,20 @@ class DenseBlocks(NamedTuple):
         return self.node_features.shape[1]
 
 
+def episode_to_dense(
+    episode,
+    nodes_per_graph: int = 32,
+    k_per_type: Tuple[int, ...] = DEFAULT_K_PER_TYPE,
+):
+    """Re-lay an Episode's support/query PackedGraphs as DenseBlocks
+    (labels unchanged). The encoder dispatches on the layout, so the
+    resulting episode feeds the same model/GP/IFT code paths."""
+    return episode._replace(
+        support=flat_to_dense(episode.support, nodes_per_graph, k_per_type),
+        query=flat_to_dense(episode.query, nodes_per_graph, k_per_type),
+    )
+
+
 def flat_to_dense(
     packed: PackedGraphs,
     nodes_per_graph: int = 32,

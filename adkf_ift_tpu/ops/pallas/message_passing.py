@@ -1,0 +1,530 @@
+"""Fused Pallas PNA/MultiAggr message-passing block (dense-block layout).
+
+One kernel per graph block computes, entirely in VMEM:
+    gather sources (one-hot matmul) -> per-type message MLP -> relu ->
+    masked sum/mean/std/max over incoming-edge slots -> PNA degree
+    scalers -> output projection
+so the [E, towers, 3m] message tensor and the [V, towers*12m] aggregate
+never touch HBM — the XLA flat path materializes both per GNN block
+(the dominant byte traffic of the encoder; see CLAUDE.md on the
+bytes-bound device and benchmarks/encoder_layouts.py).
+
+Mosaic-friendliness decisions (constraints per the TPU kernel guide and
+the quirks recorded in CLAUDE.md):
+  * slot-minor layout: incoming-edge slot k of all N nodes is one
+    contiguous [N, ...] row block, so every slice is a static SUBLANE
+    (row) slice — no 32-wide lane slicing anywhere;
+  * gathers are one-hot [K*N, N] @ [N, H] matmuls (no dynamic_slice on
+    values);
+  * the message MLPs of all towers run as ONE matmul per edge type
+    against a host-packed block-diagonal weight [2H, towers*3m];
+  * aggregation is a static unrolled loop over K slots of [N, F]
+    elementwise ops;
+  * the output projection is folded into 12 matmuls (4 aggregation
+    sources x 3 PNA scaler branches) against host-packed slices of the
+    flax msg_out_projection kernel — PNA's per-node scalers commute
+    through the projection as row scalings (diag(a) S) P = a * (S P).
+
+Parity: matches DenseRelationalMultiAggrMP + msg_out_projection
+(modules/gnn.py) under the same flax parameters (see tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SMALL_NUMBER = 1e-7
+PNA_DELTA = 1.1515
+
+
+def pack_mp_params(
+    gnn_params: dict,
+    num_edge_types: int,
+    towers: int,
+    per_head_dim: int,
+    hidden_dim: int,
+    use_pna_scalers: bool,
+    compute_dtype=jnp.bfloat16,
+):
+    """Pack flax GNNBlock params (mp/message_fn_type{t} w0/b0 +
+    msg_out_projection) into the kernel's weight layout.
+
+    jit-traceable (static-index scatter sets), so the packing runs inside
+    the model's jitted forward and its transposes give the flax-layout
+    gradients automatically.
+
+    Returns (w_msg [T, 2H, towers*3m], b_msg [T, towers*3m],
+             p_proj [12 or 4, towers*3m, H] ordered
+             [base|amp|att] x [sum, mean, std, max], b_proj [H]).
+    """
+    m = per_head_dim
+    td = hidden_dim // towers
+    f = towers * 3 * m
+
+    w_msg = jnp.zeros((num_edge_types, 2 * hidden_dim, f), jnp.float32)
+    b_msg = jnp.zeros((num_edge_types, f), jnp.float32)
+    for t in range(num_edge_types):
+        mlp = gnn_params["mp"][f"message_fn_type{t}"]
+        w0 = jnp.asarray(mlp["w0"], jnp.float32)  # [towers, 2*td, 3m]
+        b0 = jnp.asarray(mlp["b0"], jnp.float32)  # [towers, 3m]
+        for tw in range(towers):
+            rows_src = slice(tw * td, (tw + 1) * td)
+            rows_tgt = slice(hidden_dim + tw * td, hidden_dim + (tw + 1) * td)
+            cols = slice(tw * 3 * m, (tw + 1) * 3 * m)
+            w_msg = w_msg.at[t, rows_src, cols].set(w0[tw, :td])
+            w_msg = w_msg.at[t, rows_tgt, cols].set(w0[tw, td:])
+            b_msg = b_msg.at[t, cols].set(b0[tw])
+
+    # msg_out_projection kernel: [towers * 4m * (3 if pna), H]; input
+    # feature order of the XLA path is TOWER-major with the PNA branch
+    # inside each tower: per tower [base 4m, amp 4m, att 4m] where base =
+    # [sum m, mean m, std m, max m] (the last-axis concats in
+    # DenseRelationalMultiAggrMP.aggregate happen on [..., towers, *]).
+    wp = jnp.asarray(gnn_params["msg_out_projection"]["kernel"], jnp.float32)
+    h_out = wp.shape[1]
+    n_branch = 3 if use_pna_scalers else 1
+    tower_w = 4 * m * n_branch
+    p_proj = jnp.zeros((4 * n_branch, f, h_out), jnp.float32)
+    for br in range(n_branch):
+        for tw in range(towers):
+            for j, agg in enumerate(("sum", "mean", "std", "max")):
+                row0 = tw * tower_w + br * 4 * m + j * m
+                # Source tensor rows: the kernel's S/M/SD/X are [N, f]
+                # with f = towers*3m; sum reads part0, mean/std part1,
+                # max part2 of each tower's 3m block.
+                part = {"sum": 0, "mean": 1, "std": 1, "max": 2}[agg]
+                src_rows = slice(tw * 3 * m + part * m, tw * 3 * m + (part + 1) * m)
+                p_proj = p_proj.at[br * 4 + j, src_rows].set(wp[row0 : row0 + m])
+    if "bias" in gnn_params["msg_out_projection"]:
+        b_proj = jnp.asarray(gnn_params["msg_out_projection"]["bias"], jnp.float32)
+    else:
+        b_proj = jnp.zeros((h_out,), jnp.float32)
+    return (
+        w_msg.astype(compute_dtype),
+        b_msg,
+        p_proj.astype(compute_dtype),
+        b_proj,
+    )
+
+
+def _mp_kernel(
+    x_ref,        # [BG, N, H]
+    onehot_ref,   # [BG, K*N, N] — host-prebuilt masked one-hot gather
+    w_msg_ref,    # [T, 2H, F]
+    b_msg_ref,    # [T, F]
+    p_proj_ref,   # [B4, F, H]
+    b_proj_ref,   # [1, H]
+    out_ref,      # [BG, N, H]
+    *,
+    bg: int,
+    k_per_type: Tuple[int, ...],
+    use_pna: bool,
+    compute_dtype,
+):
+    n = x_ref.shape[1]
+    h = x_ref.shape[2]
+    f = w_msg_ref.shape[2]
+    k_tot = sum(k_per_type)
+    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
+
+    for g in range(bg):
+        x_g = x_ref[g].astype(compute_dtype)  # [N, H]
+        onehot = onehot_ref[g].astype(compute_dtype)  # [K*N, N], mask baked in
+
+        # Gather all K*N source states in one matmul; derive the per-slot
+        # column masks from the one-hot itself (row sums): both stay in
+        # the natural [rows=slots, lanes] layout — no relayouts anywhere.
+        src_states = jnp.dot(onehot, x_g, preferred_element_type=jnp.float32).astype(
+            compute_dtype
+        )  # [K*N, H]
+        ones_col = jnp.ones((n, 1), compute_dtype)
+        slot_mask = jnp.dot(onehot, ones_col, preferred_element_type=jnp.float32)  # [K*N, 1]
+
+        # Messages per slot block (same edge type => same packed weight).
+        msgs, col_masks = [], []
+        for k in range(k_tot):
+            pair = jnp.concatenate(
+                [src_states[k * n : (k + 1) * n], x_g], axis=1
+            )  # [N, 2H]
+            raw = (
+                jnp.dot(
+                    pair,
+                    w_msg_ref[type_of_slot[k]].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + b_msg_ref[type_of_slot[k]][None, :]
+            )
+            msgs.append(jnp.maximum(raw, 0.0))  # [N, F] f32
+            col_masks.append(slot_mask[k * n : (k + 1) * n])  # [N, 1]
+
+        # Masked aggregation over the K slots (static unroll).
+        neg_inf = jnp.float32(-jnp.inf)
+        s_acc = jnp.zeros((n, f), jnp.float32)
+        x_acc = jnp.full((n, f), neg_inf)
+        deg = jnp.zeros((n, 1), jnp.float32)
+        for k in range(k_tot):
+            mk = col_masks[k]  # [N, 1]
+            s_acc = s_acc + mk * msgs[k]
+            x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
+            deg = deg + mk
+        denom = jnp.maximum(deg, 1.0)
+        mean = s_acc / denom
+        var = jnp.zeros((n, f), jnp.float32)
+        for k in range(k_tot):
+            mk = col_masks[k]
+            var = var + mk * (jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER)
+        std = jnp.where(var > 0.0, jnp.sqrt(jnp.where(var > 0.0, var, 1.0)), 0.0)
+        x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
+
+        sources = (s_acc, mean, std, x_agg)
+        out = jnp.zeros((n, h), jnp.float32)
+        for j in range(4):
+            out = out + jnp.dot(
+                sources[j].astype(compute_dtype),
+                p_proj_ref[j].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        if use_pna:
+            log_deg = jnp.log(deg + 1.0)
+            amp = log_deg / PNA_DELTA
+            att = PNA_DELTA / (log_deg + SMALL_NUMBER)
+            for br, scale in ((1, amp), (2, att)):
+                part = jnp.zeros((n, h), jnp.float32)
+                for j in range(4):
+                    part = part + jnp.dot(
+                        sources[j].astype(compute_dtype),
+                        p_proj_ref[br * 4 + j].astype(compute_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                out = out + scale * part
+        out_ref[g] = (out + b_proj_ref[0][None, :]).astype(out_ref.dtype)
+
+
+def slot_minor_onehot(in_src, in_mask, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[G, N, K_t] per-type tuples -> masked one-hot gather matrices
+    [G, K_tot*N, N] in slot-minor order (slot k of every node is one
+    contiguous [N, N] row block; types concatenated in order).
+
+    Static per episode — build once, reuse across every GNN layer and
+    every inner/outer iteration. Row r = k*N + n selects the source node
+    of slot k of node n; padded slots are all-zero rows (so gathered
+    states AND the derived slot masks are exact zeros in-kernel)."""
+    g = in_src[0].shape[0]
+    n = in_src[0].shape[1]
+    srcs = jnp.concatenate([jnp.swapaxes(s, 1, 2) for s in in_src], axis=1)  # [G, K, N]
+    masks = jnp.concatenate([jnp.swapaxes(m, 1, 2) for m in in_mask], axis=1)
+    onehot = (srcs[..., None] == jnp.arange(n, dtype=srcs.dtype)).astype(dtype)
+    onehot = onehot * masks[..., None].astype(dtype)  # [G, K, N, N]
+    return onehot.reshape(g, -1, n)
+
+
+def _mp_bwd_kernel(
+    x_ref,        # [BG, N, H]
+    onehot_ref,   # [BG, K*N, N]
+    w_msg_ref,    # [T, 2H, F]
+    b_msg_ref,    # [T, F]
+    p_proj_ref,   # [B4, F, H]
+    g_ref,        # [BG, N, H] upstream grad
+    dx_ref,       # [BG, N, H]
+    dw_msg_ref,   # [T, 2H, F]   accumulated across the grid
+    db_msg_ref,   # [T, F]
+    dp_proj_ref,  # [B4, F, H]
+    db_proj_ref,  # [1, H]
+    *,
+    bg: int,
+    k_per_type: Tuple[int, ...],
+    use_pna: bool,
+    compute_dtype,
+):
+    """Backward of _mp_kernel by full in-VMEM recomputation (flash-style):
+    messages/aggregates are rebuilt per graph, grads accumulated into the
+    weight outputs across the sequential TPU grid."""
+    n = x_ref.shape[1]
+    h = x_ref.shape[2]
+    f = w_msg_ref.shape[2]
+    k_tot = sum(k_per_type)
+    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
+    n_types = w_msg_ref.shape[0]
+    n_branch = 3 if use_pna else 1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_msg_ref[...] = jnp.zeros_like(dw_msg_ref)
+        db_msg_ref[...] = jnp.zeros_like(db_msg_ref)
+        dp_proj_ref[...] = jnp.zeros_like(dp_proj_ref)
+        db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
+
+    neg_inf = jnp.float32(-jnp.inf)
+    for g in range(bg):
+        x_g = x_ref[g].astype(compute_dtype)
+        onehot = onehot_ref[g].astype(compute_dtype)
+        grad = g_ref[g].astype(jnp.float32)  # [N, H]
+
+        # ---- recompute forward intermediates ----
+        src_states = jnp.dot(onehot, x_g, preferred_element_type=jnp.float32).astype(
+            compute_dtype
+        )
+        ones_col = jnp.ones((n, 1), compute_dtype)
+        slot_mask = jnp.dot(onehot, ones_col, preferred_element_type=jnp.float32)
+
+        pairs, raws, msgs, col_masks = [], [], [], []
+        for k in range(k_tot):
+            pair = jnp.concatenate([src_states[k * n : (k + 1) * n], x_g], axis=1)
+            raw = (
+                jnp.dot(
+                    pair,
+                    w_msg_ref[type_of_slot[k]].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + b_msg_ref[type_of_slot[k]][None, :]
+            )
+            pairs.append(pair)
+            raws.append(raw)
+            msgs.append(jnp.maximum(raw, 0.0))
+            col_masks.append(slot_mask[k * n : (k + 1) * n])
+
+        s_acc = jnp.zeros((n, f), jnp.float32)
+        x_acc = jnp.full((n, f), neg_inf)
+        deg = jnp.zeros((n, 1), jnp.float32)
+        for k in range(k_tot):
+            mk = col_masks[k]
+            s_acc = s_acc + mk * msgs[k]
+            x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
+            deg = deg + mk
+        denom = jnp.maximum(deg, 1.0)
+        mean = s_acc / denom
+        var = jnp.zeros((n, f), jnp.float32)
+        for k in range(k_tot):
+            var = var + col_masks[k] * (
+                jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER
+            )
+        var_pos = var > 0.0
+        std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
+        x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
+        sources = (s_acc, mean, std, x_agg)
+
+        # ---- projection backward ----
+        if use_pna:
+            log_deg = jnp.log(deg + 1.0)
+            scales = (
+                jnp.ones((n, 1), jnp.float32),
+                log_deg / PNA_DELTA,
+                PNA_DELTA / (log_deg + SMALL_NUMBER),
+            )
+        else:
+            scales = (jnp.ones((n, 1), jnp.float32),)
+
+        d_src = [jnp.zeros((n, f), jnp.float32) for _ in range(4)]
+        for br in range(n_branch):
+            sg = (scales[br] * grad).astype(compute_dtype)  # [N, H]
+            for j in range(4):
+                # dP = Src^T @ (scale*G): contract over nodes (dim 0/0).
+                dp = jax.lax.dot_general(
+                    sources[j].astype(compute_dtype), sg,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp_proj_ref[br * 4 + j] += dp
+                # dSrc = (scale*G) @ P^T: contract over H (dim 1/2... P [F, H])
+                d_src[j] = d_src[j] + jax.lax.dot_general(
+                    sg, p_proj_ref[br * 4 + j].astype(compute_dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        db_proj_ref[0, :] += jnp.sum(grad, axis=0)
+
+        d_sum, d_mean_direct, d_std, d_max = d_src
+
+        # ---- aggregation backward ----
+        dvar = jnp.where(var_pos, d_std * 0.5 / jnp.where(var_pos, std, 1.0), 0.0)
+        # var -> mean and msgs
+        d_mean = d_mean_direct
+        dm_from_var = []
+        for k in range(k_tot):
+            ind = ((msgs[k] * msgs[k] - mean * mean) > 0.0).astype(jnp.float32)
+            w = col_masks[k] * dvar * ind
+            dm_from_var.append(w * 2.0 * msgs[k])
+            d_mean = d_mean - w * 2.0 * mean
+        # mean = s_acc/denom
+        d_s_from_mean = d_mean / denom
+        # max ties: even split like XLA's max grad
+        ties = []
+        tie_count = jnp.zeros((n, f), jnp.float32)
+        for k in range(k_tot):
+            t = ((col_masks[k] > 0) & (msgs[k] == x_agg)).astype(jnp.float32)
+            ties.append(t)
+            tie_count = tie_count + t
+        tie_den = jnp.maximum(tie_count, 1.0)
+
+        dx_g = jnp.zeros((n, h), jnp.float32)
+        d_src_rows = []  # per-slot d(src_states)
+        for k in range(k_tot):
+            mk = col_masks[k]
+            d_msg = (
+                mk * d_sum
+                + mk * d_s_from_mean
+                + dm_from_var[k]
+                + ties[k] / tie_den * d_max
+            )
+            d_raw = (jnp.where(raws[k] > 0.0, d_msg, 0.0)).astype(compute_dtype)
+            t = type_of_slot[k]
+            # dW += pair^T @ d_raw (contract nodes)
+            dw_msg_ref[t] += jax.lax.dot_general(
+                pairs[k], d_raw,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_msg_ref[t] += jnp.sum(d_raw.astype(jnp.float32), axis=0)
+            # d_pair = d_raw @ W^T (contract F)
+            d_pair = jax.lax.dot_general(
+                d_raw, w_msg_ref[t].astype(compute_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, 2H]
+            d_src_rows.append(d_pair[:, :h])
+            dx_g = dx_g + d_pair[:, h:]
+
+        # scatter src grads: dx += O^T @ d_src (contract slot rows)
+        d_src_all = jnp.concatenate(d_src_rows, axis=0).astype(compute_dtype)  # [K*N, H]
+        dx_g = dx_g + jax.lax.dot_general(
+            onehot, d_src_all,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[g] = dx_g.astype(dx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_per_type", "use_pna", "block_graphs", "interpret", "compute_dtype"),
+)
+def fused_multiaggr_mp(
+    x: jnp.ndarray,            # [G, N, H] node states
+    onehot: jnp.ndarray,       # [G, K_tot*N, N] (slot_minor_onehot)
+    w_msg: jnp.ndarray,        # [T, 2H, F]
+    b_msg: jnp.ndarray,        # [T, F]
+    p_proj: jnp.ndarray,       # [4*branches, F, H]
+    b_proj: jnp.ndarray,       # [H]
+    *,
+    k_per_type: Tuple[int, ...],
+    use_pna: bool = True,
+    block_graphs: int = 16,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused MP + projection: returns the pre-residual update [G, N, H]
+    (what msg_out_projection(mp(x)) produces in modules/gnn.py)."""
+    g, n, h = x.shape
+    bg = min(block_graphs, g)
+    pad = (-g) % bg
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, n, h), x.dtype)])
+        onehot = jnp.concatenate(
+            [onehot, jnp.zeros((pad,) + onehot.shape[1:], onehot.dtype)]
+        )
+    op = _make_op(tuple(k_per_type), use_pna, bg, interpret, jnp.dtype(compute_dtype).name)
+    out = op(x, onehot, w_msg, b_msg, p_proj, b_proj.reshape(1, -1))
+    return out[:g]
+
+
+def _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna, bg, interpret, compute_dtype):
+    gp, n, h = x.shape
+    kernel = functools.partial(
+        _mp_kernel, bg=bg, k_per_type=k_per_type, use_pna=use_pna, compute_dtype=compute_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((gp, n, h), jnp.float32),
+        grid=(gp // bg,),
+        in_specs=[
+            pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + onehot.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_msg.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_msg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(p_proj.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_proj2d.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, onehot, w_msg, b_msg, p_proj, b_proj2d)
+
+
+def _bwd_call(x, onehot, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg, interpret, compute_dtype):
+    gp, n, h = x.shape
+    kernel = functools.partial(
+        _mp_bwd_kernel, bg=bg, k_per_type=k_per_type, use_pna=use_pna, compute_dtype=compute_dtype
+    )
+    fixed = lambda i: (0, 0)
+    fixed3 = lambda i: (0, 0, 0)
+    blocked = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((gp, n, h), jnp.float32),      # dx
+            jax.ShapeDtypeStruct(w_msg.shape, jnp.float32),     # dw_msg
+            jax.ShapeDtypeStruct(b_msg.shape, jnp.float32),     # db_msg
+            jax.ShapeDtypeStruct(p_proj.shape, jnp.float32),    # dp_proj
+            jax.ShapeDtypeStruct((1, h), jnp.float32),          # db_proj
+        ),
+        grid=(gp // bg,),
+        in_specs=[
+            pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, onehot, w_msg, b_msg, p_proj, grad)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
+    """custom_vjp'd fused MP op for a fixed static configuration. The
+    backward recomputes messages in VMEM (flash-style) and accumulates
+    weight grads across the sequential TPU grid."""
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    static = dict(
+        k_per_type=k_per_type, use_pna=use_pna, bg=bg,
+        interpret=interpret, compute_dtype=compute_dtype,
+    )
+
+    @jax.custom_vjp
+    def op(x, onehot, w_msg, b_msg, p_proj, b_proj2d):
+        return _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, **static)
+
+    def fwd(x, onehot, w_msg, b_msg, p_proj, b_proj2d):
+        out = _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, **static)
+        return out, (x, onehot, w_msg, b_msg, p_proj)
+
+    def bwd(res, grad):
+        x, onehot, w_msg, b_msg, p_proj = res
+        dx, dw_msg, db_msg, dp_proj, db_proj = _bwd_call(
+            x, onehot, w_msg, b_msg, p_proj, grad, **static
+        )
+        return (
+            dx.astype(x.dtype),
+            jnp.zeros_like(onehot),
+            dw_msg.astype(w_msg.dtype),
+            db_msg.astype(b_msg.dtype),
+            dp_proj.astype(p_proj.dtype),
+            db_proj.astype(jnp.float32),
+        )
+
+    op.defvjp(fwd, bwd)
+    return op

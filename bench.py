@@ -50,11 +50,36 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
     inner_method = os.environ.get("BENCH_INNER", "newton")
+    # Default path: dense-block layout + fused Pallas MP kernel
+    # (ops/pallas/message_passing.py) — measured 2.3x faster than the
+    # flat XLA MP stack per layer (benchmarks/pallas_mp_bench.py) and
+    # 1.30 -> 1.76 outer steps/s end-to-end on v5e. BENCH_LAYOUT=flat
+    # BENCH_MP=xla selects the segment-op path.
+    layout = os.environ.get("BENCH_LAYOUT", "dense")
+    mp_impl = os.environ.get("BENCH_MP", "pallas")
+    features_cfg = None
+    if mp_impl == "pallas" or layout == "dense":
+        from adkf_ift_tpu.modules.encoder import (
+            CombinedFeatureConfig,
+            GraphFeatureExtractorConfig,
+        )
+        from adkf_ift_tpu.modules.gnn import GNNConfig
+
+        features_cfg = CombinedFeatureConfig(
+            graph_config=GraphFeatureExtractorConfig(
+                gnn_config=GNNConfig(
+                    mp_impl=mp_impl,
+                    remat_blocks=False,
+                    pallas_block_graphs=int(os.environ.get("BENCH_BLOCK_GRAPHS", "16")),
+                )
+            )
+        )
     config = adkf.ADKFModelConfig(
         # Damped Newton on the 3-param non-ARD inner problem reaches the
         # same optima as L-BFGS (tests/test_gp_fit.py) in ~1/3 the
         # iterations and ~1/10 the sequential ops.
         inner_optimizer=LBFGSConfig(max_iters=48, history=8, method=inner_method),
+        **({"features": features_cfg} if features_cfg is not None else {}),
     )
 
     # Padding budgets sized to the benchmark molecules (mean 24 nodes,
@@ -73,14 +98,26 @@ def main():
     for i in range(tasks_per_batch):
         task = make_task(f"BENCH{i}", num_samples=support + query + 64, seed=i)
         episodes.append(build_episode(sampler.sample(task, seed=i), spec))
+    if layout == "dense":
+        from adkf_ift_tpu.ops.dense_block import episode_to_dense
+
+        k_per_type = tuple(
+            int(v) for v in os.environ.get("BENCH_K_PER_TYPE", "6,4,3").split(",")
+        )
+        dense_nodes = int(os.environ.get("BENCH_DENSE_NODES", "40"))
+        episodes = [
+            episode_to_dense(ep, nodes_per_graph=dense_nodes, k_per_type=k_per_type)
+            for ep in episodes
+        ]
     batch = stack_episodes(episodes)
 
     params = adkf.init_encoder_params(config, jax.random.PRNGKey(0), episodes[0].support)
     optimizer = make_optimizer(1e-4, clip_value=1.0)
     state = init_train_state(params, optimizer)
-    # Sweep-derived defaults on v5e: small flat chunks without remat win
-    # (the device is bytes-bound; rematerialization re-reads the forward).
-    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "1"))
+    # Sweep-derived defaults on v5e: small chunks without remat win
+    # (the device is bytes-bound; rematerialization re-reads the forward);
+    # with the Pallas MP path chunk 2 measured best (1.76 steps/s).
+    task_chunk = int(os.environ.get("BENCH_TASK_CHUNK", "2"))
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     step_fn = make_meta_train_step(
         lambda p, e: adkf.episode_outer_loss(config, p, e),

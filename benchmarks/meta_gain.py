@@ -41,10 +41,13 @@ from adkf_ift_tpu.utils.metrics import compute_binary_task_metrics
 from adkf_ift_tpu.utils.synthetic import make_task
 
 
-def evaluate(predict, params, test_tasks, spec, num_samples=8):
-    """Mean ΔAUPRC (avg_precision − positive fraction) over episodes."""
+def evaluate(predict, outer_loss, params, test_tasks, spec, num_samples=8):
+    """(mean ΔAUPRC, SEM, mean per-query-point predictive NLL) over
+    held-out episodes. The NLL is the quantity the outer loop optimizes
+    (negative log predictive probability of the query under the fitted
+    GP posterior, adaptive_dkt.py:183-189)."""
     sampler = StratifiedTaskSampler(spec.support_size, test_size_or_ratio=spec.query_size)
-    deltas = []
+    deltas, nlls = [], []
     for task in test_tasks:
         for run in range(num_samples):
             try:
@@ -56,7 +59,12 @@ def evaluate(predict, params, test_tasks, spec, num_samples=8):
             y = (np.asarray(ep.query_labels)[qmask] > 0).astype(np.float64)
             m = compute_binary_task_metrics(probs[qmask], y)
             deltas.append(m.avg_precision - y.mean())
-    return float(np.mean(deltas)), float(np.std(deltas) / np.sqrt(len(deltas)))
+            nlls.append(float(np.asarray(outer_loss(params, ep))) / qmask.sum())
+    return (
+        float(np.mean(deltas)),
+        float(np.std(deltas) / np.sqrt(len(deltas))),
+        float(np.mean(nlls)),
+    )
 
 
 def main():
@@ -119,10 +127,13 @@ def main():
             print(f"step {step}: loss {loss:.4f} ({time.perf_counter()-t0:.0f}s)", flush=True)
 
     predict = make_predict_fn("adkf", config)
-    d_fresh, se_fresh = evaluate(predict, fresh, test_tasks, spec)
-    d_trained, se_trained = evaluate(predict, state.params, test_tasks, spec)
-    print(f"fresh-init ΔAUPRC:   {d_fresh:.4f} ± {se_fresh:.4f}")
-    print(f"meta-trained ΔAUPRC: {d_trained:.4f} ± {se_trained:.4f}")
+    outer_loss = jax.jit(lambda p, e: adkf.episode_outer_loss(config, p, e))
+    d_fresh, se_fresh, nll_fresh = evaluate(predict, outer_loss, fresh, test_tasks, spec)
+    d_trained, se_trained, nll_trained = evaluate(
+        predict, outer_loss, state.params, test_tasks, spec
+    )
+    print(f"fresh-init:   ΔAUPRC {d_fresh:.4f} ± {se_fresh:.4f}, query NLL {nll_fresh:.4f}")
+    print(f"meta-trained: ΔAUPRC {d_trained:.4f} ± {se_trained:.4f}, query NLL {nll_trained:.4f}")
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs", "METAGAIN.md")
     with open(out, "w") as f:
@@ -135,8 +146,15 @@ def main():
             f"- config: {args.steps} steps x {args.tasks_per_batch} tasks/batch, "
             f"support {args.support}, query {args.query}, "
             f"{args.train_tasks} train / {args.test_tasks} test tasks\n"
-            f"- fresh-init ΔAUPRC:   **{d_fresh:.4f} ± {se_fresh:.4f}** (SEM)\n"
-            f"- meta-trained ΔAUPRC: **{d_trained:.4f} ± {se_trained:.4f}** (SEM)\n"
+            f"- fresh-init:   ΔAUPRC **{d_fresh:.4f} ± {se_fresh:.4f}** (SEM), "
+            f"query predictive NLL **{nll_fresh:.4f}**\n"
+            f"- meta-trained: ΔAUPRC **{d_trained:.4f} ± {se_trained:.4f}** (SEM), "
+            f"query predictive NLL **{nll_trained:.4f}**\n\n"
+            "The query predictive NLL is the outer objective itself\n"
+            "(negative log predictive probability under the per-task fitted\n"
+            "GP posterior); the synthetic labels carry heavy flip noise, so\n"
+            "rank metrics saturate while the calibrated NLL shows the\n"
+            "meta-learned featurization directly.\n"
         )
     print(f"wrote {out}")
 

@@ -53,6 +53,38 @@ def test_batch_outer_loss_matches_vmapped_single():
     np.testing.assert_allclose(np.asarray(flat), singles, rtol=2e-4, atol=2e-3)
 
 
+def test_dense_batch_outer_loss_matches_flat():
+    """Dense-block episodes flow through the SAME model code (the
+    encoder dispatches on layout): batch_outer_loss on dense episodes
+    equals the flat-layout losses under shared params."""
+    from adkf_ift_tpu.ops.dense_block import episode_to_dense
+
+    cfg = adkf.ADKFModelConfig(
+        features=CombinedFeatureConfig(
+            used_features="gnn+ecfp+fc",
+            graph_config=GraphFeatureExtractorConfig(
+                gnn_config=GNNConfig(
+                    num_layers=2, hidden_dim=32, num_heads=2, per_head_dim=8,
+                    intermediate_dim=64, dtype="float32", remat_blocks=False,
+                ),
+                readout_config=GraphReadoutConfig(num_heads=2, head_dim=8, output_dim=16, dtype="float32"),
+            ),
+            fc_out_dim=32,
+            fc_hidden_dim=32,
+        ),
+        inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8),
+    )
+    eps = _episodes(3)
+    dense_eps = [episode_to_dense(ep, nodes_per_graph=48, k_per_type=(8, 6, 6)) for ep in eps]
+    params = adkf.init_encoder_params(cfg, jax.random.PRNGKey(0), eps[0].support)
+
+    flat = np.asarray(jax.jit(lambda p, b: adkf.batch_outer_loss(cfg, p, b))(params, stack_episodes(eps)))
+    dense = np.asarray(
+        jax.jit(lambda p, b: adkf.batch_outer_loss(cfg, p, b))(params, stack_episodes(dense_eps))
+    )
+    np.testing.assert_allclose(dense, flat, rtol=2e-4, atol=2e-3)
+
+
 def test_dkt_batch_loss_matches_vmapped_single():
     from adkf_ift_tpu.models import dkt
 
