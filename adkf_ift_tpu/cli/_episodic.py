@@ -63,6 +63,44 @@ def add_episodic_train_args(parser: argparse.ArgumentParser, defaults=None) -> N
         help="Array serialization backend; orbax saves async and "
         "understands sharded jax.Arrays (multi-host).",
     )
+    add_layout_args(parser)
+
+
+def add_layout_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--encoder-layout", type=str, default=None, choices=["flat", "dense"],
+        help="Episode layout; 'dense' re-lays molecules as fixed [G, N] "
+        "blocks (required by --mp-impl pallas; defaults to dense "
+        "automatically when the model config uses the Pallas kernel).",
+    )
+    parser.add_argument("--dense-nodes-per-graph", type=int, default=48)
+    parser.add_argument(
+        "--dense-k-per-type",
+        type=lambda v: tuple(int(x) for x in v.split(",")),
+        default=(8, 6, 6),
+        help="Incoming-edge slots per node, per bond type (dense layout).",
+    )
+
+
+def episode_transform_for(config, args=None):
+    """Dense-block re-layout when the model's encoder wants it (Pallas MP)
+    or the user asked for it; None otherwise."""
+    import functools
+
+    layout = getattr(args, "encoder_layout", None) if args is not None else None
+    gnn_cfg = getattr(
+        getattr(getattr(config, "features", None), "graph_config", None), "gnn_config", None
+    )
+    wants_dense = layout == "dense" or (gnn_cfg is not None and gnn_cfg.mp_impl == "pallas")
+    if layout == "flat" or not wants_dense:
+        return None
+    from adkf_ift_tpu.ops.dense_block import episode_to_dense
+
+    return functools.partial(
+        episode_to_dense,
+        nodes_per_graph=int(getattr(args, "dense_nodes_per_graph", 48) or 48),
+        k_per_type=tuple(getattr(args, "dense_k_per_type", (8, 6, 6)) or (8, 6, 6)),
+    )
 
 
 def make_validation_fn(
@@ -73,6 +111,7 @@ def make_validation_fn(
     query_budget: int,
     num_samples: int,
     regression: bool,
+    episode_transform=None,
 ):
     """Few-shot eval on the validation fold -> scalar score (mean
     delta-AUPRC for classification, mean R2 for regression); the
@@ -89,6 +128,7 @@ def make_validation_fn(
             fold=DataFold.VALIDATION,
             filter_numeric_labels=regression,
             query_budget=query_budget,
+            episode_transform=episode_transform,
         )
         scores = []
         for task_results in results.values():
@@ -118,6 +158,7 @@ def run_episodic_training(
     maps initialized params to an optax transformation (for param-group
     optimizers like MAML's); `batch_loss_fn(config, params, stacked)`
     enables flat-chunk encoding (train/meta.py)."""
+    transform = episode_transform_for(config, args)
     loop_cfg = TrainLoopConfig(
         num_train_steps=args.num_train_steps,
         tasks_per_batch=args.tasks_per_batch,
@@ -126,13 +167,17 @@ def run_episodic_training(
         validate_every_num_steps=args.validate_every,
         num_reader_workers=args.num_reader_workers,
         checkpoint_backend=getattr(args, "checkpoint_backend", "flax"),
+        episode_transform=transform,
     )
     spec = EpisodeSpec(
         support_size=loop_cfg.support_set_size, query_size=loop_cfg.query_set_size
     )
     # Init params from the first train episode's shapes.
     probe = next(
-        episode_stream(dataset, DataFold.TRAIN, spec, regression=regression, repeat=True, num_workers=0)
+        episode_stream(
+            dataset, DataFold.TRAIN, spec, regression=regression, repeat=True,
+            num_workers=0, episode_transform=transform,
+        )
     )
     params = init_params_fn(config, jax.random.PRNGKey(args.seed), probe)
 
@@ -174,6 +219,7 @@ def run_episodic_training(
             query_budget=args.validation_query_set_size,
             num_samples=args.validation_num_samples,
             regression=regression,
+            episode_transform=transform,
         )
 
     return train_loop(
@@ -203,6 +249,7 @@ def add_episodic_test_args(parser: argparse.ArgumentParser) -> None:
         help="Do not load a trained model; use fresh random init (control).",
     )
     parser.add_argument("--query-budget", type=int, default=256)
+    add_layout_args(parser)
 
 
 def run_episodic_test(
@@ -245,6 +292,7 @@ def run_episodic_test(
         seed=args.seed,
         filter_numeric_labels=regression,
         query_budget=args.query_budget,
+        episode_transform=episode_transform_for(config, args),
     )
     _log_aggregate(results, regression)
     return results
@@ -266,6 +314,7 @@ def run_episodic_walltime(
     config, params, _, _ = load_checkpoint(args.TRAINED_MODEL)
     predict = make_predict_fn(kind, config, regression)
     evaluator = bind_evaluator(predict, params, regression)
+    transform = episode_transform_for(config, args)
 
     rows = []
     for task in dataset.get_task_reading_iterable(DataFold.TEST):
@@ -287,6 +336,8 @@ def run_episodic_walltime(
                     spec,
                     regression=regression,
                 )
+                if transform is not None:
+                    episode = transform(episode)
                 t0 = time.perf_counter()
                 preds, _ = evaluator(episode, args.seed + run_idx)
                 np.asarray(preds)

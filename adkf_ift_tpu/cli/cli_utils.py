@@ -103,12 +103,16 @@ def add_eval_cli_args(parser: argparse.ArgumentParser) -> None:
 
 
 def add_walltime_cli_args(parser: argparse.ArgumentParser) -> None:
+    from adkf_ift_tpu.cli._episodic import add_layout_args
+
     add_data_cli_args(parser)
     parser.add_argument("--save-dir", type=str, default="outputs")
     parser.add_argument("--num-runs", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--train-sizes", type=json.loads, default=[64])
     parser.add_argument("--test-size", type=int, default=None)
+    parser.add_argument("--query-budget", type=int, default=256)
+    add_layout_args(parser)
 
 
 def set_up_run(

@@ -41,6 +41,16 @@ def add_encoder_cli_args(parser: argparse.ArgumentParser) -> None:
     gnn.add_argument("--intermediate-dim", type=int, default=512)
     gnn.add_argument("--message-function-depth", type=int, default=1)
     gnn.add_argument("--dropout-rate", type=float, default=0.0)
+    gnn.add_argument(
+        "--mp-impl", type=str, default="xla", choices=["xla", "pallas"],
+        help="Message-passing backend: 'pallas' = fused TPU kernel on the "
+        "dense-block episode layout (1.76 vs 1.30 outer steps/s on v5e); "
+        "requires --encoder-layout dense.",
+    )
+    gnn.add_argument("--no-block-remat", action="store_true",
+                     help="Disable per-GNN-block rematerialization.")
+    # Hidden: run the Pallas kernel in interpreter mode (CPU CI/smokes).
+    gnn.add_argument("--pallas-interpret", action="store_true", help=argparse.SUPPRESS)
 
     readout = parser.add_argument_group("Readout")
     readout.add_argument(
@@ -89,6 +99,9 @@ def encoder_config_from_args(
                 intermediate_dim=args.intermediate_dim,
                 message_function_depth=args.message_function_depth,
                 dropout_rate=args.dropout_rate,
+                mp_impl=getattr(args, "mp_impl", "xla"),
+                remat_blocks=not getattr(args, "no_block_remat", False),
+                pallas_interpret=getattr(args, "pallas_interpret", False),
             ),
             readout_config=GraphReadoutConfig(
                 readout_type=args.readout_type,

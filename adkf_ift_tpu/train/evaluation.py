@@ -91,6 +91,7 @@ def eval_model(
     query_budget: int = 256,
     episode_spec_fn: Optional[Callable[[int], EpisodeSpec]] = None,
     num_workers: int = 0,
+    episode_transform: Optional[Callable] = None,
 ) -> Dict[str, List]:
     """Evaluate over a fold; returns {task_name: [results...]}."""
     if out_dir is not None:
@@ -124,6 +125,7 @@ def eval_model(
                 preds, labels = _evaluate_sample_chunked(
                     evaluate_episode, task_sample, spec_fn(train_size), local_seed,
                     filter_numeric_labels, query_budget,
+                    episode_transform=episode_transform,
                 )
                 if filter_numeric_labels:
                     metrics = compute_numeric_task_metrics(preds, labels)
@@ -166,9 +168,12 @@ def _evaluate_sample_chunked(
     seed: int,
     regression: bool,
     query_budget: int,
+    episode_transform: Optional[Callable] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Chunk the query set to the spec's static budget (the reference's
-    multi-batch eval, run_on_batches) and concatenate predictions."""
+    multi-batch eval, run_on_batches) and concatenate predictions.
+    `episode_transform` re-lays each padded episode (e.g. dense-block
+    layout for the Pallas MP path, ops/dense_block.episode_to_dense)."""
     all_preds, all_labels = [], []
     test = task_sample.test_samples
     for start in range(0, len(test), spec.query_size):
@@ -179,6 +184,8 @@ def _evaluate_sample_chunked(
             test_samples=test[start : start + spec.query_size],
         )
         episode = build_episode(chunk, spec, regression=regression)
+        if episode_transform is not None:
+            episode = episode_transform(episode)
         n_real = len(chunk.test_samples)
         preds, labels = evaluate_episode(episode, seed)
         all_preds.append(np.asarray(preds)[:n_real])

@@ -48,6 +48,9 @@ class TrainLoopConfig:
     # "flax" (host-local msgpack) or "orbax" (sharded-array aware, saves
     # async so validation-time checkpointing never stalls the device).
     checkpoint_backend: str = "flax"
+    # Optional per-episode re-layout (e.g. ops/dense_block.episode_to_dense
+    # for the fused Pallas MP encoder); runs in the reader threads.
+    episode_transform: Optional[Callable] = None
 
 
 def episode_stream(
@@ -59,6 +62,7 @@ def episode_stream(
     num_workers: int = 4,
     samples_per_task: int = 1,
     shard: Optional[tuple] = None,
+    episode_transform: Optional[Callable] = None,
 ) -> Iterator[Episode]:
     """Stream padded episodes from per-task files (the analogue of
     get_dkt_task_sample_iterable, data/dkt.py:156-207)."""
@@ -69,13 +73,17 @@ def episode_stream(
 
     use_native = native_loader.native_available()
 
+    transform = episode_transform or (lambda ep: ep)
+
     def native_task_episodes(task, idx):
         if regression and not native_loader.is_valid_numeric_task_native(task):
             return
         for k in range(samples_per_task):
             try:
-                yield native_loader.stratified_episode_native(
-                    task, spec, seed=idx + k, regression=regression
+                yield transform(
+                    native_loader.stratified_episode_native(
+                        task, spec, seed=idx + k, regression=regression
+                    )
                 )
             except (SamplingException, ValueError) as e:
                 logger.debug("%s: native sampling failed (%s)", task.name, e)
@@ -94,7 +102,7 @@ def episode_stream(
                 logger.debug("%s: sampling failed (%s)", task.name, e)
                 continue
             try:
-                yield build_episode(sample, spec, regression=regression)
+                yield transform(build_episode(sample, spec, regression=regression))
             except Exception as e:  # noqa: BLE001 — budget overflows etc.
                 logger.debug("%s: packing failed (%s)", task.name, e)
 
@@ -171,6 +179,7 @@ def train_loop(
         repeat=True,
         num_workers=loop_config.num_reader_workers,
         shard=shard,
+        episode_transform=loop_config.episode_transform,
     )
 
     backend = loop_config.checkpoint_backend

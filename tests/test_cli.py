@@ -69,6 +69,28 @@ def test_adkf_train_then_test(data_root, tmp_path):
     _assert_eval_csvs(save)
 
 
+def test_adkf_train_then_test_pallas_dense(data_root, tmp_path):
+    """ADKF end-to-end with --mp-impl pallas on the dense-block layout
+    (interpreter mode on CPU): train -> checkpoint -> test; the
+    checkpoint config selects the dense transform at test time."""
+    from adkf_ift_tpu.cli import adkf_test, adkf_train
+
+    save = str(tmp_path / "out")
+    # Interpreter-mode Pallas is slow: 1 step, no validation eval.
+    adkf_train.main(
+        [data_root, "--save-dir", save, "--inner-max-iters", "8",
+         "--mp-impl", "pallas", "--pallas-interpret", "--no-block-remat",
+         "--dense-k-per-type", "8,6,6"]
+        + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS
+        + ["--num_train_steps", "1", "--validate-every", "99"]
+    )
+    ckpt = _latest_ckpt(save)
+    adkf_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                    "--train-sizes", "[16]", "--query-budget", "32",
+                    "--dense-k-per-type", "8,6,6"])
+    _assert_eval_csvs(save)
+
+
 def test_gpst_test_cli(data_root, tmp_path):
     from adkf_ift_tpu.cli import gpst_test
 
