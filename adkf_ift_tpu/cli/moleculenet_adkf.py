@@ -44,6 +44,10 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     parser.add_argument("--epochs", type=int, default=200, help="Outer steps.")
     parser.add_argument("--tasks-per-batch", type=int, default=4)
     parser.add_argument("--eval-episodes", type=int, default=10)
+    parser.add_argument("--update-step-test", type=int, default=0,
+                        help="Test-time outer-loop adaptation steps on each "
+                        "test task's support pool before the GP refit "
+                        "(adkfift_trainer.py update_step_test).")
     parser.add_argument("--pre-adkf-ift", action="store_true",
                         help="No meta-training: frozen encoder + GP refit only.")
     parser.add_argument("--ignore-grad-correction", action="store_true")
@@ -98,11 +102,19 @@ def main(argv=None):
         save_checkpoint(os.path.join(args.save_dir, "fully_trained"), config, params)
 
     for task in test_tasks:
+        task_params = params
+        if args.update_step_test > 0:
+            # Per-task test-time adaptation from the shared meta-trained
+            # params (the reference restores the saved state per task).
+            adapt_ep = sample_episode(task, args.n_shot, args.query_size, seed=10_000)
+            task_params = mt.test_time_adapt(
+                config, params, adapt_ep, num_steps=args.update_step_test, lr=args.meta_lr
+            )
         episodes = [
             sample_episode(task, args.n_shot, args.query_size, seed=s)
             for s in range(args.eval_episodes)
         ]
-        auroc, _ = mt.evaluate_task_auroc(config, params, episodes)
+        auroc, _ = mt.evaluate_task_auroc(config, task_params, episodes)
         logger.info("test task %s: AUROC %.4f over %d episodes", task.name, auroc, len(episodes))
 
 

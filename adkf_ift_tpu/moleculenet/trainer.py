@@ -102,6 +102,37 @@ def episode_outer_loss(config: MolNetADKFConfig, encoder_params, episode: MolNet
     )
 
 
+def test_time_adapt(
+    config: MolNetADKFConfig,
+    encoder_params,
+    adapt_episode: MolNetEpisode,
+    num_steps: int = 1,
+    lr: float = 5e-5,
+):
+    """Test-time outer-loop adaptation (adkfift_trainer.py:230-271,
+    update_step_test>0): before the final GP refit, run a few ADKF outer
+    steps ON THE TEST TASK's support pool — inner GP fit, IFT
+    hypergradient of the predictive loss, clipped AdamW on the ENCODER
+    only — then return the adapted encoder params. The caller evaluates
+    with episode_predict as usual."""
+    import optax
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
+    opt_state = opt.init(encoder_params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: episode_outer_loss(config, p, adapt_episode)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(num_steps):
+        encoder_params, opt_state, _ = step(encoder_params, opt_state)
+    return encoder_params
+
+
 def episode_predict(config: MolNetADKFConfig, encoder_params, episode: MolNetEpisode):
     """GP refit on support + noisy posterior over query
     (adkfift_trainer.py:220-309 test_step; with a frozen pretrained

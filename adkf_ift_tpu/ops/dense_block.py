@@ -21,7 +21,7 @@ overflow, mirroring the flat packer's budget contract.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -93,47 +93,55 @@ def flat_to_dense(
     node_mask_flat = np.asarray(packed.node_mask)
     features = np.asarray(packed.node_features)
 
+    # Fully vectorized (this runs on the training-loop critical path when
+    # the reader converts episodes): valid nodes are laid contiguously
+    # with nondecreasing graph ids (pack_graphs), so slot-within-graph is
+    # just index − first-index-of-graph.
+    valid_idx = np.nonzero((node_mask_flat > 0) & (node_to_graph < g))[0]
+    gi_of = node_to_graph[valid_idx]
+    counts = np.bincount(gi_of, minlength=g)
+    if counts.max(initial=0) > n:
+        raise EpisodeOverflowError(f"a graph has >{n} nodes")
+    starts = np.zeros(g + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot_valid = np.arange(len(valid_idx)) - starts[gi_of]
+    slot_of = np.zeros(node_to_graph.shape[0], np.int64)
+    slot_of[valid_idx] = slot_valid
+
     node_features = np.zeros((g, n, feat_dim), np.float32)
     node_mask = np.zeros((g, n), np.float32)
-    # flat node index -> (graph, slot)
-    slot_of = np.zeros(node_to_graph.shape[0], np.int32)
-    counts = np.zeros(g, np.int32)
-    valid = node_mask_flat > 0
-    for idx in np.nonzero(valid)[0]:
-        gi = node_to_graph[idx]
-        if gi >= g:
-            continue
-        s = counts[gi]
-        if s >= n:
-            raise EpisodeOverflowError(f"graph {gi} has >{n} nodes")
-        node_features[gi, s] = features[idx]
-        node_mask[gi, s] = 1.0
-        slot_of[idx] = s
-        counts[gi] = s + 1
+    node_features[gi_of, slot_valid] = features[valid_idx]
+    node_mask[gi_of, slot_valid] = 1.0
 
     in_src, in_mask = [], []
     for t in range(NUM_EDGE_TYPES):
         k = k_per_type[t]
         src_arr = np.zeros((g, n, k), np.int32)
         mask_arr = np.zeros((g, n, k), np.float32)
-        fill = np.zeros((g, n), np.int32)
-        e_src = np.asarray(packed.edge_sources[t])
-        e_tgt = np.asarray(packed.edge_targets[t])
         e_mask = np.asarray(packed.edge_mask[t])
-        for e in np.nonzero(e_mask > 0)[0]:
-            s_idx, t_idx = e_src[e], e_tgt[e]
-            gi = node_to_graph[t_idx]
-            if gi >= g or node_to_graph[s_idx] != gi:
-                raise EpisodeOverflowError("edge crosses graph boundary")
-            slot_t, slot_s = slot_of[t_idx], slot_of[s_idx]
-            j = fill[gi, slot_t]
-            if j >= k:
-                raise EpisodeOverflowError(
-                    f"in-degree budget K={k} (type {t}) exceeded at graph {gi}"
-                )
-            src_arr[gi, slot_t, j] = slot_s
-            mask_arr[gi, slot_t, j] = 1.0
-            fill[gi, slot_t] = j + 1
+        live = np.nonzero(e_mask > 0)[0]
+        e_src = np.asarray(packed.edge_sources[t])[live]
+        e_tgt = np.asarray(packed.edge_targets[t])[live]
+        gi = node_to_graph[e_tgt]
+        if live.size and (np.any(gi >= g) or np.any(node_to_graph[e_src] != gi)):
+            raise EpisodeOverflowError("edge crosses graph boundary")
+        slot_t = slot_of[e_tgt]
+        slot_s = slot_of[e_src]
+        # Per-(graph, target-node) slot index in original edge order:
+        # stable sort by node key, cumcount within equal keys.
+        key = gi.astype(np.int64) * n + slot_t
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        is_start = np.r_[True, sk[1:] != sk[:-1]] if live.size else np.zeros(0, bool)
+        group_start = np.maximum.accumulate(
+            np.where(is_start, np.arange(sk.size), 0)
+        )
+        j = np.empty(sk.size, np.int64)
+        j[order] = np.arange(sk.size) - group_start
+        if live.size and j.max(initial=0) >= k:
+            raise EpisodeOverflowError(f"in-degree budget K={k} (type {t}) exceeded")
+        src_arr[gi, slot_t, j] = slot_s
+        mask_arr[gi, slot_t, j] = 1.0
         in_src.append(src_arr)
         in_mask.append(mask_arr)
 

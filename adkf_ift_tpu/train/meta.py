@@ -123,9 +123,12 @@ def make_meta_train_step(
         new_params = optax.apply_updates(state.params, updates)
         return MetaTrainState(new_params, new_opt_state, state.step + 1), losses
 
+    from adkf_ift_tpu.utils.wire import decompress_batch
+
     if mesh is None:
 
         def step(state: MetaTrainState, episode_batch: Episode):
+            episode_batch = decompress_batch(episode_batch)
             n_tasks = jax.tree.leaves(episode_batch)[0].shape[0]
             grads, losses = accumulate(state.params, episode_batch, task_chunk)
             return apply_update(state, grads, losses, n_tasks)
@@ -149,6 +152,7 @@ def make_meta_train_step(
             local_chunk = max(task_chunk // n_devices, 1)
 
         def device_fn(params, local_batch):
+            local_batch = decompress_batch(local_batch)
             grads, losses = accumulate(params, local_batch, local_chunk)
             grads = jax.lax.psum(grads, TASK_AXIS)
             return grads, losses

@@ -17,7 +17,6 @@ Usage: python benchmarks/meta_gain.py [--steps 600] [--train-tasks 24]
 import argparse
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))

@@ -30,8 +30,6 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-from flax import linen as nn
-
 from adkf_ift_tpu.data.episodes import GraphPadSpec, pack_graphs
 from adkf_ift_tpu.modules.gnn import (
     DenseRelationalMultiAggrMP,

@@ -97,6 +97,40 @@ def test_dkt_batch_loss_matches_vmapped_single():
     np.testing.assert_allclose(flat, singles, rtol=2e-4, atol=2e-3)
 
 
+def test_wire_compression_roundtrip_and_step_parity():
+    """compress_batch narrows fingerprints/masks/indices losslessly;
+    decompress inside the jitted step restores native dtypes — losses
+    must match the uncompressed step exactly."""
+    from adkf_ift_tpu.utils.wire import compress_batch, decompress_batch
+
+    cfg = adkf.ADKFModelConfig(
+        features=_tiny(), inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8)
+    )
+    eps = _episodes(2)
+    batch = stack_episodes(eps)
+    comp = compress_batch(batch)
+
+    # Narrowing happened where expected and is lossless.
+    assert comp.support.fingerprints.dtype in (np.uint8, np.uint16)
+    assert comp.support.node_mask.dtype == np.uint8
+    assert comp.support.node_to_graph.dtype == np.int16
+    restored = jax.device_get(decompress_batch(jax.device_put(comp)))
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(batch)):
+        assert a.dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    params = jax.tree.map(
+        np.asarray, adkf.init_encoder_params(cfg, jax.random.PRNGKey(0), eps[0].support)
+    )  # host copies: the step donates its state buffers
+    opt = make_optimizer(1e-3)
+    step = make_meta_train_step(
+        lambda p, e: adkf.episode_outer_loss(cfg, p, e), opt, task_chunk=None, remat=False
+    )
+    _, losses_comp = step(init_train_state(jax.tree.map(jnp.array, params), opt), comp)
+    _, losses_raw = step(init_train_state(jax.tree.map(jnp.array, params), opt), batch)
+    np.testing.assert_allclose(np.asarray(losses_comp), np.asarray(losses_raw), rtol=1e-6)
+
+
 def test_meta_train_step_with_batch_loss_fn_trains():
     cfg = adkf.ADKFModelConfig(
         features=_tiny(), inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8)

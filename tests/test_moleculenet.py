@@ -81,6 +81,32 @@ def test_molnet_adkf_loss_grads_and_auroc():
     assert np.isfinite(auroc) and 0.0 <= auroc <= 1.0
 
 
+def test_molnet_test_time_adaptation_reduces_adapt_loss():
+    """test_time_adapt (adkfift_trainer.py:230-271 update_step_test path)
+    runs ADKF outer steps on the test task's support pool and returns
+    adapted ENCODER params that lower the adaptation objective."""
+    task = _task(n=96, seed=5)
+    cfg = MolNetADKFConfig(
+        encoder=MolNetEncoderConfig(num_layers=2, emb_dim=32),
+        inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8),
+    )
+    adapt_ep = sample_episode(task, n_shot=8, query_size=24, seed=1)
+    params = mt.init_encoder_params(cfg, jax.random.PRNGKey(0), adapt_ep.support)
+
+    before = float(mt.episode_outer_loss(cfg, params, adapt_ep))
+    adapted = mt.test_time_adapt(cfg, params, adapt_ep, num_steps=5, lr=1e-3)
+    after = float(mt.episode_outer_loss(cfg, adapted, adapt_ep))
+    assert np.isfinite(after) and after < before, (before, after)
+    # Params actually moved, and evaluation still works with them.
+    moved = sum(
+        float(jnp.linalg.norm(a - b))
+        for a, b in zip(jax.tree.leaves(adapted), jax.tree.leaves(params))
+    )
+    assert moved > 0
+    pred = mt.episode_predict(cfg, adapted, adapt_ep)
+    assert np.all(np.isfinite(np.asarray(pred.mean)))
+
+
 def test_sample_episode_protocol():
     task = _task(n=60, seed=2)
     ep = sample_episode(task, n_shot=5, query_size=16, seed=3)
