@@ -492,6 +492,10 @@ class GNNBlock(nn.Module):
             dense
             and cfg.mp_impl == "pallas"
             and kind in ("multiaggr", "pna")
+            # pack_mp_params packs exactly one message-MLP layer (w0/b0);
+            # deeper MLPs would pack shape-compatibly for some configs and
+            # silently compute the wrong thing (ADVICE r1).
+            and cfg.message_function_depth == 1
             and edge_targets is not None  # GNN passes the slot one-hot here
         )
         if fused:

@@ -71,6 +71,12 @@ def pack_mp_params(
     b_msg = jnp.zeros((num_edge_types, f), jnp.float32)
     for t in range(num_edge_types):
         mlp = gnn_params["mp"][f"message_fn_type{t}"]
+        if "w1" in mlp:
+            raise ValueError(
+                "fused Pallas MP supports message_function_depth == 1 only "
+                f"(message_fn_type{t} has {sum(k.startswith('w') for k in mlp)} layers); "
+                "use mp_impl='xla' for deeper message MLPs"
+            )
         w0 = jnp.asarray(mlp["w0"], jnp.float32)  # [towers, 2*td, 3m]
         b0 = jnp.asarray(mlp["b0"], jnp.float32)  # [towers, 3m]
         for tw in range(towers):

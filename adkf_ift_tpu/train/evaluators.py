@@ -78,15 +78,18 @@ def make_predict_fn(kind: str, config, regression: bool = False) -> Callable:
     else:
         raise ValueError(f"unknown model kind: {kind}")
 
-    from adkf_ift_tpu.utils.wire import compress_batch, decompress_batch
+    from adkf_ift_tpu.utils.wire import WireCodec, decompress_batch
 
     # Compress the episode on the host and restore dtypes inside the jit:
     # eval episodes ship fingerprints/features/masks as f32 otherwise and
-    # the tunnel's host->device path dominates per-episode latency.
+    # the tunnel's host->device path dominates per-episode latency. One
+    # codec per predict_fn keeps the jitted signature stable across
+    # episodes (value-dependent dtypes would recompile mid-sweep).
+    codec = WireCodec()
     jitted = jax.jit(lambda p, e: raw(p, decompress_batch(e)))
 
     def predict(params, episode: Episode) -> np.ndarray:
-        out = np.asarray(jitted(params, compress_batch(episode)), np.float64)
+        out = np.asarray(jitted(params, codec.compress(episode)), np.float64)
         if gp and not regression:
             return _sigmoid(out)
         return out

@@ -167,32 +167,40 @@ def _device_batch_pipeline(
 
     import jax
 
-    from adkf_ift_tpu.utils.wire import compress_batch
+    from adkf_ift_tpu.utils.wire import WireCodec
 
     out: "pyqueue.Queue" = pyqueue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
+    # Stable per-leaf dtype schema across the whole run: a batch-dependent
+    # signature would recompile the step mid-training (ADVICE r1).
+    codec = WireCodec()
+
+    def blocking_put(item):
+        """Stop-aware put that never silently drops `item`."""
+        while not stop.is_set():
+            try:
+                out.put(item, timeout=0.2)
+                return
+            except pyqueue.Full:
+                continue
 
     def worker():
+        sentinel = None  # StopIteration -> None; error -> the exception
         try:
             while not stop.is_set():
                 episodes = [next(stream) for _ in range(tasks_per_batch)]
                 batch = stack_episodes(episodes)
                 if compress:
-                    batch = compress_batch(batch)
+                    batch = codec.compress(batch)
                 batch = shard_batch(batch) if shard_batch is not None else jax.device_put(batch)
-                while not stop.is_set():
-                    try:
-                        out.put(batch, timeout=0.2)
-                        break
-                    except pyqueue.Full:
-                        continue
+                blocking_put(batch)
         except StopIteration:
             pass
+        except Exception as e:  # noqa: BLE001 — re-raised in next_batch
+            logger.exception("prefetch worker failed")
+            sentinel = e
         finally:
-            try:
-                out.put_nowait(None)
-            except pyqueue.Full:
-                pass
+            blocking_put(sentinel)
 
     thread = threading.Thread(target=worker, daemon=True, name="device-prefetch")
     thread.start()
@@ -201,6 +209,8 @@ def _device_batch_pipeline(
         item = out.get()
         if item is None:
             raise StopIteration("episode stream exhausted")
+        if isinstance(item, Exception):
+            raise item
         return item
 
     def stop_fn():

@@ -139,7 +139,7 @@ def make_meta_train_step(
     # grads over its LOCAL episodes (flat-chunk encoding included — the
     # flattening happens per device so gathers never cross chips), then
     # one psum over ICI reduces the gradient (SURVEY.md §2.9).
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from adkf_ift_tpu.parallel.mesh import TASK_AXIS
@@ -162,7 +162,7 @@ def make_meta_train_step(
             mesh=mesh,
             in_specs=(P(), P(TASK_AXIS)),
             out_specs=(P(), P(TASK_AXIS)),
-            check_rep=False,
+            check_vma=False,
         )(state.params, episode_batch)
         return apply_update(state, grads, losses, n_tasks)
 

@@ -31,6 +31,14 @@ _ORBAX_DIR = "arrays_ocp"
 _async_checkpointers: list = []
 
 
+def _write_atomic(path: str, writer) -> None:
+    """Write via tmp-then-rename so readers never see a partial file."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        writer(f)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     path: str,
     config: Any,
@@ -40,55 +48,89 @@ def save_checkpoint(
     backend: str = "flax",
     async_save: bool = False,
 ) -> None:
+    """Arrays are committed BEFORE meta.json/config.pkl are (atomically)
+    replaced, so a crash mid-save leaves the previous checkpoint's meta
+    paired with either the previous or the new arrays — never new meta
+    over stale arrays (ADVICE r1). Async orbax saves additionally carry
+    the step INSIDE the saved item; loading prefers it over meta.json."""
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "config.pkl"), "wb") as f:
-        pickle.dump(config, f)
     meta = {"step": int(step) if step is not None else None, "backend": backend}
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+
+    def finalize():
+        _write_atomic(os.path.join(path, "config.pkl"), lambda f: pickle.dump(config, f))
+        _write_atomic(
+            os.path.join(path, "meta.json"), lambda f: f.write(json.dumps(meta).encode())
+        )
+
     if backend == "orbax":
-        _save_orbax(path, params, opt_state, async_save)
+        _save_orbax(path, params, opt_state, step, async_save, finalize)
         return
     params = jax.device_get(params)
-    with open(os.path.join(path, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(params))
+    _write_atomic(
+        os.path.join(path, "params.msgpack"), lambda f: f.write(serialization.to_bytes(params))
+    )
     # Also persist the pytree structure so params can be restored without
     # re-initializing the model first.
-    with open(os.path.join(path, "params_tree.pkl"), "wb") as f:
-        pickle.dump(jax.tree.map(lambda x: (np.shape(x), str(np.asarray(x).dtype)), params), f)
+    _write_atomic(
+        os.path.join(path, "params_tree.pkl"),
+        lambda f: pickle.dump(
+            jax.tree.map(lambda x: (np.shape(x), str(np.asarray(x).dtype)), params), f
+        ),
+    )
     if opt_state is not None:
-        with open(os.path.join(path, "opt_state.pkl"), "wb") as f:
-            pickle.dump(jax.device_get(opt_state), f)
+        _write_atomic(
+            os.path.join(path, "opt_state.pkl"),
+            lambda f: pickle.dump(jax.device_get(opt_state), f),
+        )
+    finalize()
 
 
-def _save_orbax(path: str, params: Any, opt_state: Optional[Any], async_save: bool) -> None:
+def _save_orbax(
+    path: str,
+    params: Any,
+    opt_state: Optional[Any],
+    step: Optional[int],
+    async_save: bool,
+    finalize,
+) -> None:
     import orbax.checkpoint as ocp
 
     item = {"params": params}
     if opt_state is not None:
         item["opt_state"] = opt_state
+    if step is not None:
+        # Ride the step inside the (atomically committed) orbax item so a
+        # crash between array commit and meta.json cannot desynchronise
+        # the reported step from the arrays.
+        item["step"] = np.asarray(step, np.int64)
     # The optimizer state mixes namedtuples (optax) into the tree; pickle
     # its structure so a template-free restore can rebuild it exactly.
     skeleton = jax.tree.map(lambda x: (np.shape(x), str(np.result_type(x))), item)
-    with open(os.path.join(path, "tree_skeleton.pkl"), "wb") as f:
-        pickle.dump(skeleton, f)
+    _write_atomic(
+        os.path.join(path, "tree_skeleton.pkl"), lambda f: pickle.dump(skeleton, f)
+    )
 
     target = os.path.abspath(os.path.join(path, _ORBAX_DIR))
     if async_save:
         ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         ckptr.save(target, args=ocp.args.StandardSave(item), force=True)
-        _async_checkpointers.append(ckptr)
+        # meta/config are written only after the async arrays commit.
+        _async_checkpointers.append((ckptr, finalize))
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(target, item, force=True)
+        finalize()
 
 
 def wait_for_async() -> None:
-    """Block until every in-flight async orbax save has committed."""
+    """Block until every in-flight async orbax save has committed (and
+    write the matching meta/config files once it has)."""
     while _async_checkpointers:
-        ckptr = _async_checkpointers.pop()
+        ckptr, finalize = _async_checkpointers.pop()
         ckptr.wait_until_finished()
         ckptr.close()
+        if finalize is not None:
+            finalize()
 
 
 def _skeleton_to_template(skeleton: Any) -> Any:
@@ -111,7 +153,10 @@ def _load_orbax(path: str, params_template, opt_state_template):
         template["opt_state"] = opt_state_template
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.join(os.path.abspath(path), _ORBAX_DIR), template)
-    return restored["params"], restored.get("opt_state")
+    step = restored.get("step")
+    return restored["params"], restored.get("opt_state"), (
+        int(step) if step is not None else None
+    )
 
 
 def load_checkpoint(
@@ -131,8 +176,10 @@ def load_checkpoint(
             step = json.load(f).get("step")
 
     if os.path.isdir(os.path.join(path, _ORBAX_DIR)):
-        params, opt_state = _load_orbax(path, params_template, opt_state_template)
-        return config, params, opt_state, step
+        params, opt_state, item_step = _load_orbax(path, params_template, opt_state_template)
+        # The in-item step is committed atomically with the arrays;
+        # meta.json may lag it by one async save window.
+        return config, params, opt_state, item_step if item_step is not None else step
 
     if params_template is None:
         with open(os.path.join(path, "params_tree.pkl"), "rb") as f:

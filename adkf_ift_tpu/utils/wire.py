@@ -6,12 +6,20 @@ training step feeding fresh episodes is TRANSFER-bound: fingerprints
 the batch at 4 bytes/value. Both are losslessly representable in 1-2
 bytes, and index vectors fit int16.
 
-compress_batch runs on the HOST (reader/prefetch thread): float32 leaves
+Compression runs on the HOST (reader/prefetch thread): float32 leaves
 whose values are integral and in range become uint8/uint16; int32/int64
 leaves whose values fit become int16. decompress_batch is TRACED at the
 top of the train step and restores float32/int32 on-device — the
 compressed dtypes are unambiguous markers, since episodes natively
 contain only float32/int32/int64 leaves.
+
+Dtype stability: a jitted step's input signature must not depend on
+per-batch value ranges (a fingerprint count crossing 255 must not flip
+uint8->uint16 and trigger a fresh multi-minute remote compile mid-run).
+`WireCodec` therefore fixes the schema per leaf PATH on first use and
+only ever widens it monotonically (uint8 -> uint16 -> float32 for float
+leaves, int16 -> native for index leaves), so a long training run sees
+at most two signature changes per leaf, not one per unlucky batch.
 """
 
 from __future__ import annotations
@@ -20,24 +28,64 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Widening ladders (lossless at every rung). A leaf's schema entry can
+# only move right, never left — that is what makes signatures stable.
+_FLOAT_LADDER = ("uint8", "uint16", "float32")
+_INT_LADDER = ("int16", "int32", "int64")
 
-def _compress_leaf(x):
-    x = np.asarray(x)
-    if x.dtype == np.float32 and x.size:
+
+def _candidate_dtype(x: np.ndarray) -> str:
+    """Narrowest lossless dtype for this value."""
+    if x.dtype == np.float32:
+        if x.size == 0:
+            return "uint8"
         mn = x.min()
         if mn >= 0.0:
             mx = x.max()
             if mx <= 65535.0 and np.all(x == np.rint(x)):
-                return x.astype(np.uint8 if mx <= 255.0 else np.uint16)
-    elif x.dtype in (np.int32, np.int64):
+                return "uint8" if mx <= 255.0 else "uint16"
+        return "float32"
+    if x.dtype in (np.int32, np.int64):
         if x.size == 0 or (x.min() >= -32768 and x.max() < 32768):
-            return x.astype(np.int16)
-    return x
+            return "int16"
+        return str(x.dtype)
+    return str(x.dtype)
+
+
+def _widen(recorded: str, candidate: str) -> str:
+    for ladder in (_FLOAT_LADDER, _INT_LADDER):
+        if recorded in ladder and candidate in ladder:
+            return ladder[max(ladder.index(recorded), ladder.index(candidate))]
+    # Different families should never happen for a fixed leaf path
+    # (episode pytrees have fixed leaf dtypes); fall back to no-compress.
+    return candidate
+
+
+class WireCodec:
+    """Stateful compressor with a monotone per-leaf-path dtype schema."""
+
+    def __init__(self):
+        self._schema: dict = {}
+
+    def compress(self, batch):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(batch)
+        out = []
+        for path, leaf in flat:
+            x = np.asarray(leaf)
+            key = jax.tree_util.keystr(path)
+            cand = _candidate_dtype(x)
+            recorded = self._schema.get(key)
+            dtype = cand if recorded is None else _widen(recorded, cand)
+            self._schema[key] = dtype
+            out.append(x if dtype == str(x.dtype) else x.astype(dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def compress_batch(batch):
-    """Host-side lossless narrowing of an episode batch (numpy)."""
-    return jax.tree.map(_compress_leaf, batch)
+    """One-shot host-side lossless narrowing (numpy). Prefer a WireCodec
+    for anything feeding a jitted function repeatedly — this stateless
+    form picks dtypes per batch and so has a data-dependent signature."""
+    return WireCodec().compress(batch)
 
 
 def _decompress_leaf(x):

@@ -131,6 +131,33 @@ def test_wire_compression_roundtrip_and_step_parity():
     np.testing.assert_allclose(np.asarray(losses_comp), np.asarray(losses_raw), rtol=1e-6)
 
 
+def test_wire_codec_schema_is_stable_and_monotone():
+    """WireCodec must emit the SAME dtypes for every batch after the first
+    (stable jit signature), widening monotonically when a later batch
+    exceeds the recorded range — never narrowing back."""
+    from adkf_ift_tpu.utils.wire import WireCodec, decompress_batch
+
+    codec = WireCodec()
+    small = {"fp": np.full((4, 8), 3.0, np.float32), "idx": np.arange(8, dtype=np.int32)}
+    big = {"fp": np.full((4, 8), 300.0, np.float32), "idx": np.arange(8, dtype=np.int32)}
+
+    c1 = codec.compress(small)
+    assert c1["fp"].dtype == np.uint8 and c1["idx"].dtype == np.int16
+    # Widens on violation...
+    c2 = codec.compress(big)
+    assert c2["fp"].dtype == np.uint16
+    # ...and STAYS widened for subsequent small batches (no flip-flop).
+    c3 = codec.compress(small)
+    assert c3["fp"].dtype == np.uint16
+    np.testing.assert_array_equal(
+        np.asarray(decompress_batch(jax.device_put(c3))["fp"]), small["fp"]
+    )
+    # Non-integral floats pin the leaf to float32 permanently.
+    frac = {"fp": np.full((4, 8), 0.5, np.float32), "idx": np.arange(8, dtype=np.int32)}
+    assert codec.compress(frac)["fp"].dtype == np.float32
+    assert codec.compress(small)["fp"].dtype == np.float32
+
+
 def test_meta_train_step_with_batch_loss_fn_trains():
     cfg = adkf.ADKFModelConfig(
         features=_tiny(), inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8)

@@ -77,6 +77,43 @@ def test_checkpoint_orbax_backend_roundtrip(tmp_path):
     )
 
 
+def test_prefetch_pipeline_propagates_worker_errors():
+    """A worker crash (e.g. packing overflow) must surface as the original
+    exception in next_batch, not hang or masquerade as stream exhaustion
+    (ADVICE r1)."""
+    from adkf_ift_tpu.train.loop import _device_batch_pipeline
+
+    class BoomError(RuntimeError):
+        pass
+
+    def bad_stream():
+        raise BoomError("packing failed")
+        yield  # pragma: no cover
+
+    next_batch, stop_fn = _device_batch_pipeline(
+        bad_stream(), tasks_per_batch=1, shard_batch=None, compress=False, depth=1
+    )
+    try:
+        import pytest
+
+        with pytest.raises(BoomError):
+            next_batch()
+    finally:
+        stop_fn()
+
+    # Genuine exhaustion still reads as StopIteration.
+    next_batch2, stop_fn2 = _device_batch_pipeline(
+        iter(()), tasks_per_batch=1, shard_batch=None, compress=False, depth=1
+    )
+    try:
+        import pytest
+
+        with pytest.raises(StopIteration):
+            next_batch2()
+    finally:
+        stop_fn2()
+
+
 def test_metric_logger_windows_and_history():
     lines = []
     ml = MetricLogger(log_fn=lines.append, window_size=3)
