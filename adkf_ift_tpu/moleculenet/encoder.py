@@ -30,13 +30,17 @@ from adkf_ift_tpu.ops.segment import segment_mean, segment_sum
 
 @dataclass(frozen=True)
 class MolNetEncoderConfig:
-    gnn_type: str = "gin"  # gin | gcn | graphsage
+    gnn_type: str = "gin"  # gin | gcn | gat | graphsage
     num_layers: int = 5
     emb_dim: int = 300
     jk: str = "last"  # last | sum
     dropout: float = 0.0
     graph_pooling: str = "mean"
     batch_norm: bool = True
+    gat_heads: int = 2  # reference GATConv(heads=2), encoder.py:107
+    gat_negative_slope: float = 0.2
+
+SELF_LOOP_BOND_TYPE = 4  # reference encoder.py:139-141 (bond type 4, dir 0)
 
 
 class _MaskedBatchNorm(nn.Module):
@@ -69,11 +73,13 @@ class MolNetEncoder(nn.Module):
         num_nodes = x.shape[0]
         states = [x]
         for layer in range(cfg.num_layers):
-            edge_emb = (
-                nn.Embed(NUM_BOND_TYPES, d, name=f"bond_embedding{layer}")(batch.bond_type)
-                + nn.Embed(NUM_BOND_DIRS, d, name=f"bond_dir_embedding{layer}")(batch.bond_dir)
-            )
-            src_feats = x[batch.edge_sources] + edge_emb  # [E, d]
+            # GAT projects to heads*d before messaging (GATConv.weight_linear,
+            # reference encoder.py:117); its bond embeddings live at that width.
+            ew = cfg.gat_heads * d if cfg.gnn_type == "gat" else d
+            bond_embed = nn.Embed(NUM_BOND_TYPES, ew, name=f"bond_embedding{layer}")
+            dir_embed = nn.Embed(NUM_BOND_DIRS, ew, name=f"bond_dir_embedding{layer}")
+            edge_emb = bond_embed(batch.bond_type) + dir_embed(batch.bond_dir)
+            src_feats = x[batch.edge_sources] + edge_emb if cfg.gnn_type != "gat" else None
             if cfg.gnn_type == "gin":
                 agg = segment_sum(src_feats, batch.edge_targets, num_nodes, batch.edge_mask)
                 eps = self.param(f"gin_eps{layer}", nn.initializers.zeros, (1,))
@@ -85,6 +91,50 @@ class MolNetEncoder(nn.Module):
                 deg = segment_sum(batch.edge_mask, batch.edge_targets, num_nodes) + 1.0
                 agg = segment_sum(src_feats, batch.edge_targets, num_nodes, batch.edge_mask)
                 h = nn.Dense(d, name=f"lin{layer}")((x + agg) / deg[:, None])
+            elif cfg.gnn_type == "gat":
+                # Reference GATConv (encoder.py:107-164): project to
+                # [V, heads, d]; messages = x_src + bond_emb; attention
+                # logits from att * [x_tgt || msg]; leaky_relu; softmax per
+                # target INCLUDING a self-loop edge (bond type 4, dir 0);
+                # mean over heads + bias. Static-padded: the self-loop term
+                # is handled closed-form instead of materializing V edges.
+                H = cfg.gat_heads
+                xp = nn.Dense(H * d, name=f"gat_lin{layer}")(x).reshape(num_nodes, H, d)
+                att = self.param(
+                    f"gat_att{layer}", nn.initializers.xavier_uniform(), (H, 2 * d)
+                )
+                bias = self.param(f"gat_bias{layer}", nn.initializers.zeros, (d,))
+                msg = xp[batch.edge_sources] + edge_emb.reshape(-1, H, d)  # [E, H, d]
+                tgt_part = jnp.einsum("vhd,hd->vh", xp, att[:, :d])  # [V, H]
+                src_part = jnp.einsum("ehd,hd->eh", msg, att[:, d:])  # [E, H]
+                logits = nn.leaky_relu(
+                    tgt_part[batch.edge_targets] + src_part, cfg.gat_negative_slope
+                )
+                # self-loop message/logit per node
+                self_emb = (
+                    bond_embed(jnp.full((1,), SELF_LOOP_BOND_TYPE, jnp.int32))
+                    + dir_embed(jnp.zeros((1,), jnp.int32))
+                ).reshape(1, H, d)
+                m_self = xp + self_emb  # [V, H, d]
+                l_self = nn.leaky_relu(
+                    tgt_part + jnp.einsum("vhd,hd->vh", m_self, att[:, d:]),
+                    cfg.gat_negative_slope,
+                )
+                from adkf_ift_tpu.ops.segment import segment_max
+
+                mx = jnp.maximum(
+                    segment_max(logits, batch.edge_targets, num_nodes,
+                                batch.edge_mask, empty_value=-jnp.inf),
+                    l_self,
+                )
+                ex = jnp.exp(logits - mx[batch.edge_targets]) * batch.edge_mask[:, None]
+                ex_self = jnp.exp(l_self - mx)
+                denom = segment_sum(ex, batch.edge_targets, num_nodes) + ex_self
+                num = (
+                    segment_sum(ex[..., None] * msg, batch.edge_targets, num_nodes)
+                    + ex_self[..., None] * m_self
+                )
+                h = (num / jnp.maximum(denom, 1e-16)[..., None]).mean(axis=1) + bias
             elif cfg.gnn_type == "graphsage":
                 agg = segment_mean(src_feats, batch.edge_targets, num_nodes, batch.edge_mask)
                 h = nn.Dense(d, name=f"lin{layer}")(jnp.concatenate([x, agg], axis=-1))

@@ -224,6 +224,16 @@ def _device_batch_pipeline(
     return next_batch, stop_fn
 
 
+def current_host_shard() -> Optional[tuple]:
+    """(process_index, process_count) when running multi-process, else
+    None — the multi-host data-striping selector (SURVEY.md §2.9)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return (jax.process_index(), jax.process_count())
+    return None
+
+
 def train_loop(
     state: MetaTrainState,
     step_fn: Callable,
@@ -246,11 +256,7 @@ def train_loop(
         edges_per_graph=loop_config.edges_per_graph,
     )
     # Multi-host: each process streams a disjoint stripe of task files.
-    import jax
-
-    shard = (
-        (jax.process_index(), jax.process_count()) if jax.process_count() > 1 else None
-    )
+    shard = current_host_shard()
     stream = episode_stream(
         dataset,
         DataFold.TRAIN,

@@ -104,6 +104,111 @@ def make_task(
     return Task(name, samples)
 
 
+# ---------------------------------------------------------------------------
+# Teacher-GNN task family for the meta-gain experiment.
+#
+# The original generator's label signal lives in the FINGERPRINT bits, so a
+# GP on raw ECFP saturates it and meta-training the encoder cannot move the
+# metric (round-1 finding). This family puts the signal in GRAPH STRUCTURE
+# instead: labels come from a fixed random 2-round message-passing "teacher"
+# over the molecular graph (shared across ALL tasks), read out by a
+# task-specific weight vector. Fingerprints and descriptors are pure noise.
+# A meta-trained encoder can learn the shared teacher featurization; a
+# fresh-init encoder (the reference's --use-fresh-param-init control,
+# adaptive_dkt_test.py:44-48) cannot, and fingerprints carry nothing.
+# ---------------------------------------------------------------------------
+
+_TEACHER_DIM = 16
+
+
+def _teacher_weights():
+    r = np.random.RandomState(777)
+    return {
+        "w0": r.randn(NUM_NODE_FEATURES, _TEACHER_DIM) * 0.7,
+        "wmp": [r.randn(_TEACHER_DIM, _TEACHER_DIM) * (0.9 / np.sqrt(_TEACHER_DIM))
+                for _ in range(2 * NUM_EDGE_TYPES)],
+        "alpha": r.rand(2 * NUM_EDGE_TYPES) + 0.5,
+        "wout": r.randn(2 * _TEACHER_DIM, _TEACHER_DIM) * (1.2 / np.sqrt(2 * _TEACHER_DIM)),
+    }
+
+
+_TEACHER = _teacher_weights()
+
+
+def _teacher_embed(node_features: np.ndarray, adjacency: List[np.ndarray]) -> np.ndarray:
+    """Fixed random 2-round typed message passing -> graph embedding [16]."""
+    v = node_features.shape[0]
+    h = np.tanh(node_features @ _TEACHER["w0"])
+    for rnd in range(2):
+        agg = np.zeros_like(h)
+        for t, edges in enumerate(adjacency):
+            w = _TEACHER["wmp"][rnd * NUM_EDGE_TYPES + t]
+            a = _TEACHER["alpha"][rnd * NUM_EDGE_TYPES + t]
+            if len(edges):
+                msg = h[edges[:, 0]] @ w
+                np.add.at(agg, edges[:, 1], a * msg)
+                msg_b = h[edges[:, 1]] @ w
+                np.add.at(agg, edges[:, 0], a * msg_b)
+        h = np.tanh(h + agg)
+    g = np.concatenate([h.mean(0), h.max(0)])
+    return np.tanh(g @ _TEACHER["wout"])
+
+
+def make_teacher_task(
+    name: str = "TEACHER",
+    num_samples: int = 160,
+    seed: int = 0,
+    min_nodes: int = 8,
+    max_nodes: int = 40,
+    flip_prob: float = 0.02,
+    numeric_noise: float = 0.05,
+) -> Task:
+    """Task whose labels = task-specific readout of the SHARED teacher-GNN
+    graph embedding; classes balanced by the per-task median threshold."""
+    rng = np.random.RandomState(seed)
+    w_task = rng.randn(_TEACHER_DIM)
+    mols, signals = [], []
+    for _ in range(num_samples):
+        v = rng.randint(min_nodes, max_nodes + 1)
+        node_features = (rng.rand(v, NUM_NODE_FEATURES) > 0.6).astype(np.float32)
+        chain = np.stack([np.arange(v - 1), np.arange(1, v)], axis=1).astype(np.int32)
+        extra_count = rng.randint(1, max(2, v // 3))
+        extras = rng.randint(0, v, size=(extra_count, 2)).astype(np.int32)
+        extras = extras[extras[:, 0] != extras[:, 1]]
+        all_edges = np.concatenate([chain, extras], axis=0)
+        type_assign = rng.choice(NUM_EDGE_TYPES, size=len(all_edges), p=[0.8, 0.15, 0.05])
+        adjacency = [all_edges[type_assign == t] for t in range(NUM_EDGE_TYPES)]
+        adjacency = [a if len(a) else np.zeros((0, 2), np.int32) for a in adjacency]
+
+        signal = float(_teacher_embed(node_features, adjacency) @ w_task)
+        signals.append(signal)
+        mols.append(
+            dict(
+                task_name=name,
+                smiles=f"TCH{rng.randint(10**9)}",
+                graph=GraphData(node_features=node_features, adjacency_lists=adjacency),
+                # Fingerprints/descriptors are NOISE: fp-only models sit at chance.
+                fingerprint=rng.binomial(1, 0.05, size=FINGERPRINT_DIM).astype(np.int32),
+                descriptors=rng.randn(DESCRIPTOR_DIM).astype(np.float32),
+            )
+        )
+    signals = np.asarray(signals)
+    thresh = float(np.median(signals))
+    samples = []
+    for mol, s in zip(mols, signals):
+        label = bool(s > thresh)
+        if rng.rand() < flip_prob:
+            label = not label
+        samples.append(
+            MoleculeDatapoint(
+                numeric_label=float(s - thresh + numeric_noise * rng.randn()),
+                bool_label=label,
+                **mol,
+            )
+        )
+    return Task(name, samples)
+
+
 def make_dataset_dir(
     root: str,
     num_train: int = 4,

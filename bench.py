@@ -35,6 +35,11 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # BENCH_DEVICE=cpu pins everything to the host CPU (the axon TPU
+    # plugin registers regardless of JAX_PLATFORMS) — used for the
+    # same-hardware comparison against benchmarks/reference_baseline.py.
+    if os.environ.get("BENCH_DEVICE", "") == "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     import numpy as np
 
@@ -55,8 +60,11 @@ def main():
     # flat XLA MP stack per layer (benchmarks/pallas_mp_bench.py) and
     # 1.30 -> 1.76 outer steps/s end-to-end on v5e. BENCH_LAYOUT=flat
     # BENCH_MP=xla selects the segment-op path.
-    layout = os.environ.get("BENCH_LAYOUT", "dense")
-    mp_impl = os.environ.get("BENCH_MP", "pallas")
+    on_cpu = os.environ.get("BENCH_DEVICE", "") == "cpu"
+    # CPU runs use the flat XLA path (the Pallas TPU kernel would need
+    # the slow interpreter there).
+    layout = os.environ.get("BENCH_LAYOUT", "flat" if on_cpu else "dense")
+    mp_impl = os.environ.get("BENCH_MP", "xla" if on_cpu else "pallas")
     features_cfg = None
     if mp_impl == "pallas" or layout == "dense":
         from adkf_ift_tpu.modules.encoder import (
@@ -74,11 +82,18 @@ def main():
                 )
             )
         )
+    # BENCH_ARD=1 switches to the full-width ARD inner problem
+    # (one lengthscale per encoder output dim => ~2050 inner params;
+    # L-BFGS + CG-on-HVP IFT instead of damped Newton + dense solve).
+    use_ard = os.environ.get("BENCH_ARD", "0") == "1"
+    if use_ard:
+        inner_method = os.environ.get("BENCH_INNER", "lbfgs")
     config = adkf.ADKFModelConfig(
         # Damped Newton on the 3-param non-ARD inner problem reaches the
         # same optima as L-BFGS (tests/test_gp_fit.py) in ~1/3 the
         # iterations and ~1/10 the sequential ops.
         inner_optimizer=LBFGSConfig(max_iters=48, history=8, method=inner_method),
+        use_ard=use_ard,
         **({"features": features_cfg} if features_cfg is not None else {}),
     )
 

@@ -184,3 +184,37 @@ def test_background_reader_repeat_stops_when_consumer_stops(tmp_path):
     it = iter(ds.get_task_reading_iterable(DataFold.TRAIN, num_workers=2, repeat=True))
     seen = [next(it) for _ in range(7)]  # > one epoch
     assert len(seen) == 7
+
+
+def test_fake_two_process_stream_is_disjoint(tmp_path, monkeypatch):
+    """Fake a 2-process layout (jax.process_count/index monkeypatched):
+    train_loop's shard selector must pick complementary stripes, the path
+    stripes must be disjoint, and the full episode_stream must yield the
+    complementary episode counts per process."""
+    import jax
+
+    from adkf_ift_tpu.data.episodes import EpisodeSpec
+    from adkf_ift_tpu.train.loop import current_host_shard, episode_stream
+
+    root = make_dataset_dir(
+        str(tmp_path), num_train=6, num_valid=0, num_test=0, samples_per_task=64
+    )
+    ds = FSMolDataset.from_directory(root)
+    spec = EpisodeSpec(support_size=8, query_size=8)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    stripes, counts = [], []
+    for pidx in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda pidx=pidx: pidx)
+        shard = current_host_shard()
+        assert shard == (pidx, 2)
+        stripes.append(set(ds.get_fold_paths(DataFold.TRAIN, shard)))
+        stream = episode_stream(
+            ds, DataFold.TRAIN, spec, repeat=False, num_workers=0, shard=shard
+        )
+        counts.append(sum(1 for _ in stream))
+    assert stripes[0].isdisjoint(stripes[1])
+    assert stripes[0] | stripes[1] == set(ds.get_fold_paths(DataFold.TRAIN))
+    # one episode per striped task file on each process
+    assert counts == [len(stripes[0]), len(stripes[1])]
+    assert sum(counts) == 6

@@ -61,3 +61,128 @@ def test_cross_model_table(tmp_path):
     table = cross_model_table({"ADKF": a, "DKT": b})
     assert set(table.columns) == {"ADKF", "DKT"}
     assert (table["ADKF"] > table["DKT"]).all()
+
+
+def test_figure_library_full_pipeline(tmp_path):
+    """The reference notebooks' figure set, end to end: eval run dirs ->
+    per-size summary CSVs -> collated val+/-err table -> cross-model merge
+    -> expansion -> per-assay plots, task scatter, per-class aggregation,
+    by-size comparison, box plot, walltime chart, table styler
+    (fs_mol/plotting/utils.py capability set)."""
+    import pandas as pd
+
+    from adkf_ift_tpu.plotting import (
+        aggregate_by_class,
+        collate_experiment_results,
+        comparison_box_plot,
+        expand_values,
+        get_aggregates_across_sizes,
+        highlight_max_all,
+        load_data,
+        plot_all_assays,
+        plot_by_size,
+        plot_task_performances_by_id,
+        plot_test_run,
+        summarize_test_run,
+        walltime_plot,
+        write_per_size_summaries,
+    )
+
+    sizes = (16, 64)
+    runs = {
+        "ADKF-IFT": _write_run(str(tmp_path / "runA"), base=0.25, seed=1),
+        "DKT": _write_run(str(tmp_path / "runB"), base=0.15, seed=2),
+    }
+
+    # Stage 1: per-size summary CSVs per model (the reference's
+    # {model}_summary_{x_col}_{N}.csv artifacts).
+    summary_paths = {}
+    for model, run in runs.items():
+        written = write_per_size_summaries(run, str(tmp_path / "sum"), model, sizes=sizes)
+        assert len(written) == len(sizes)
+        summary_paths[model] = written
+
+    # plot_test_run on one task's raw rows.
+    df = collect_eval_run(runs["ADKF-IFT"])
+    one = df[df.task_name == "CHEMBL0"]
+    total, summ = summarize_test_run(one)
+    assert total == 164  # max train + min test at these fixtures
+    assert "average_precision_score_std" in summ.columns
+    out = plot_test_run("CHEMBL0", "ADKF-IFT", summ, str(tmp_path))
+    assert os.path.exists(out)
+
+    # Stage 2: collation into the TASK_ID x {size}_train val+/-err table.
+    collated = {}
+    for model in runs:
+        c = collate_experiment_results(str(tmp_path / "sum"), model, sizes=sizes)
+        assert set(c.columns) >= {"TASK_ID", "16_train", "64_train"}
+        assert c["16_train"].str.contains(r"\+/-").all()
+        path = str(tmp_path / f"{model}_collated.csv")
+        c.to_csv(path, index=False)
+        collated[model] = path
+
+    # Stage 3: cross-model merge + expansion (delta-auprc columns).
+    merged = load_data(collated, train_sizes=sizes)
+    assert len(merged) == 3  # tasks
+    extended = expand_values(merged, runs.keys(), train_sizes=sizes)
+    assert "16_train (ADKF-IFT) val delta-auprc" in extended.columns
+    # ADKF-IFT fixture dominates DKT at every size.
+    for s in sizes:
+        assert (
+            extended[f"{s}_train (ADKF-IFT) val"] > extended[f"{s}_train (DKT) val"]
+        ).all()
+
+    # Stage 4: every figure renders.
+    assays = plot_all_assays(extended, runs.keys(), sizes, str(tmp_path / "assays"))
+    assert len(assays) == 3
+    scatter = plot_task_performances_by_id(
+        extended, runs.keys(), support_set_size=16, plot_output_dir=str(tmp_path / "figs")
+    )
+    assert os.path.exists(scatter)
+    agg = aggregate_by_class(extended, runs.keys(), num_samples=16)
+    assert list(agg["EC_category"]) == ["all"]  # no EC column in fixtures
+    full_agg = get_aggregates_across_sizes(extended, runs.keys(), train_sizes=sizes)
+    assert "16_train (DKT)" in full_agg.columns
+    bysize = plot_by_size(
+        full_agg, runs.keys(), train_sizes=sizes, plot_output_dir=str(tmp_path / "figs")
+    )
+    assert os.path.exists(bysize)
+    box = comparison_box_plot(
+        extended, runs.keys(), support_set_size=16, plot_output_dir=str(tmp_path / "figs")
+    )
+    assert os.path.exists(box)
+    wt = walltime_plot([[1.0, 1.2, 0.9], [30.0, 31.0, 29.5]], ["ours", "reference"], str(tmp_path / "figs"))
+    assert os.path.exists(wt)
+
+    # Styler: the max per size gets the bold attribute.
+    row = pd.Series(
+        {"16_train (A)": "0.3+/-0.01", "16_train (B)": "0.2+/-0.01"}
+    )
+    attrs = highlight_max_all(row, sizes=[16])
+    assert attrs[0].startswith("font-weight") and attrs[1] == ""
+
+
+def test_aggregate_by_class_with_ec_classes(tmp_path):
+    """Per-EC-class aggregation and the single-task error rule."""
+    import pandas as pd
+
+    from adkf_ift_tpu.plotting import aggregate_by_class
+
+    df = pd.DataFrame(
+        {
+            "TASK_ID": ["1", "2", "3"],
+            "EC_super_class": [1, 1, 2],
+            "fraction_positive_train": [0.5, 0.5, 0.5],
+            "16_train (M) val": [0.7, 0.9, 0.6],
+            "16_train (M) std": [0.01, 0.02, 0.03],
+        }
+    )
+    agg = aggregate_by_class(df, ["M"], num_samples=16)
+    assert list(agg["EC_category"]) == ["1", "2", "all"]
+    r1 = agg[agg.EC_category == "1"].iloc[0]
+    assert abs(r1["16_train (M)"] - 0.3) < 1e-9  # mean of (0.2, 0.4) deltas
+    # two tasks -> SEM over tasks
+    assert abs(r1["16_train (M) std"] - np.std([0.2, 0.4], ddof=1) / np.sqrt(2)) < 1e-9
+    r2 = agg[agg.EC_category == "2"].iloc[0]
+    # single task -> that measurement's own std
+    assert abs(r2["16_train (M) std"] - 0.03) < 1e-9

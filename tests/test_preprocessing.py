@@ -141,3 +141,52 @@ def test_process_all_assays_writes_cleaned_csvs_and_summary(tmp_path):
     for _, row in summary.iterrows():
         assert (out_dir / f"{row.chembl_id}.csv").exists()
         assert row.num_datapoints >= 32
+
+
+def test_featurisation_golden_reference_fixture(tmp_path):
+    """Featurise the reference's checked-in cleaned assay fixture
+    (fs_mol/preprocessing/test/datasets/cleaned/CHEMBL1001235.csv) and
+    check the invariants its golden test asserts
+    (test_featurisation.py:48-70): all 21 datapoints featurise, with the
+    FS-Mol wire schema (2048-d count fingerprints, 42 descriptors,
+    adjacency by bond type) loadable as a Task. RDKit-gated."""
+    import pytest
+
+    pytest.importorskip("rdkit")
+    import gzip
+    import json
+    import os
+
+    import pandas as pd
+
+    from adkf_ift_tpu.data.task import Task
+    from adkf_ift_tpu.preprocessing.featurise import (
+        FeaturisationMetadata,
+        featurise_assay_df,
+    )
+
+    fixture = (
+        "/root/reference/fs_mol/preprocessing/test/datasets/cleaned/CHEMBL1001235.csv"
+    )
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixture not present")
+    df = pd.read_csv(fixture)
+    assert len(df) == 21  # the reference's len_train_data assertion
+    meta = FeaturisationMetadata.prepare_from_smiles(list(df["canonical_smiles"]))
+    out = str(tmp_path / "CHEMBL1001235.jsonl.gz")
+    written = featurise_assay_df(df, meta, out)
+    assert written == 21
+
+    with gzip.open(out, "rt") as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 21
+    for rec in records:
+        assert len(rec["fingerprints"]) == 2048
+        assert len(rec["descriptors"]) == 42
+        assert len(rec["graph"]["adjacency_lists"]) >= 1
+        assert rec["Property"] in ("0.0", "1.0")
+
+    # The produced file round-trips through the training data layer.
+    task = Task.load_from_file(out)
+    assert len(task.samples) == 21
+    assert {s.bool_label for s in task.samples} == {True, False}
