@@ -69,6 +69,13 @@ class GNNConfig:
     mp_impl: str = "xla"
     pallas_block_graphs: int = 16
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # Whole-block fusion (MP + residual + LN + BOOM in one kernel) on the
+    # pallas path; False = fused-MP kernel + XLA BOOM tail. Default False:
+    # on the tunnel-attached chip the XLA BOOM matmuls are already
+    # roofline-bound and the fused block's backward recompute loses ~6%
+    # end-to-end (1.65 vs 1.76 steps/s measured); on HBM-bound multi-chip
+    # deployments the fused block saves 4 stream round-trips per block.
+    pallas_fuse_boom: bool = False
 
     @property
     def compute_dtype(self):
@@ -510,7 +517,9 @@ class GNNBlock(nn.Module):
             )
             _ = proj(probe[:1])
             from adkf_ift_tpu.ops.pallas.message_passing import (
+                fused_gnn_block,
                 fused_multiaggr_mp,
+                pack_boom_params,
                 pack_mp_params,
             )
 
@@ -524,6 +533,45 @@ class GNNBlock(nn.Module):
                 compute_dtype=cfg.compute_dtype,
             )
             k_per_type = tuple(s.shape[-1] for s in edge_sources)
+
+            # Whole-block fusion (MP + ReZero residual + LayerNorm + BOOM +
+            # residual in ONE kernel) whenever dropout is inactive: saves
+            # the per-block XLA LN/matmul/matmul HBM round-trips. Falls
+            # back to fused-MP + XLA BOOM when dropout is live.
+            dropout_inactive = deterministic or cfg.dropout_rate == 0.0
+            if (
+                cfg.pallas_fuse_boom
+                and cfg.intermediate_dim > 0
+                and cfg.use_rezero_scaling
+                and dropout_inactive
+            ):
+                alpha = self.param(
+                    "alpha", nn.initializers.constant(SMALL_NUMBER), (1,), jnp.float32
+                )
+                boom_norm = nn.LayerNorm(name="boom_norm")
+                boom = BOOMLayer(
+                    cfg.hidden_dim, cfg.intermediate_dim, cfg.dropout_rate,
+                    dtype=cfg.compute_dtype, name="boom",
+                )
+                # Parameter creation via probe rows (outputs unused).
+                probe_rows = x[0, :1].astype(jnp.float32)
+                _ = boom(boom_norm(probe_rows), deterministic=True)
+                ln_scale, ln_bias, w1, b1, w2, b2 = pack_boom_params(
+                    {
+                        "boom_norm": boom_norm.variables["params"],
+                        "boom": boom.variables["params"],
+                    },
+                    compute_dtype=cfg.compute_dtype,
+                )
+                return fused_gnn_block(
+                    x.astype(jnp.float32), edge_targets, w_msg, b_msg, p_proj, b_proj,
+                    alpha[0], ln_scale, ln_bias, w1, b1, w2, b2,
+                    k_per_type=k_per_type, use_pna=(kind == "pna"),
+                    block_graphs=cfg.pallas_block_graphs,
+                    interpret=cfg.pallas_interpret,
+                    compute_dtype=cfg.compute_dtype,
+                )
+
             new = fused_multiaggr_mp(
                 x.astype(jnp.float32), edge_targets, w_msg, b_msg, p_proj, b_proj,
                 k_per_type=k_per_type, use_pna=(kind == "pna"),

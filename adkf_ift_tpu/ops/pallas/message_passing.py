@@ -119,6 +119,86 @@ def pack_mp_params(
     )
 
 
+def _mp_graph_fwd(x_g, onehot, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+                  k_per_type, use_pna, compute_dtype):
+    """One graph's fused MP + projection, entirely on VMEM values:
+    returns the pre-residual update [N, H] f32 (incl. projection bias)."""
+    n, h = x_g.shape[0], x_g.shape[1]
+    f = w_msg_ref.shape[2]
+    k_tot = sum(k_per_type)
+    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
+    x_cd = x_g.astype(compute_dtype)
+    oh_cd = onehot.astype(compute_dtype)
+
+    # Gather all K*N source states in one matmul; derive the per-slot
+    # column masks from the one-hot itself (row sums): both stay in
+    # the natural [rows=slots, lanes] layout — no relayouts anywhere.
+    src_states = jnp.dot(oh_cd, x_cd, preferred_element_type=jnp.float32).astype(
+        compute_dtype
+    )  # [K*N, H]
+    ones_col = jnp.ones((n, 1), compute_dtype)
+    slot_mask = jnp.dot(oh_cd, ones_col, preferred_element_type=jnp.float32)  # [K*N, 1]
+
+    # Messages per slot block (same edge type => same packed weight).
+    msgs, col_masks = [], []
+    for k in range(k_tot):
+        pair = jnp.concatenate(
+            [src_states[k * n : (k + 1) * n], x_cd], axis=1
+        )  # [N, 2H]
+        raw = (
+            jnp.dot(
+                pair,
+                w_msg_ref[type_of_slot[k]].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_msg_ref[type_of_slot[k]][None, :]
+        )
+        msgs.append(jnp.maximum(raw, 0.0))  # [N, F] f32
+        col_masks.append(slot_mask[k * n : (k + 1) * n])  # [N, 1]
+
+    # Masked aggregation over the K slots (static unroll).
+    neg_inf = jnp.float32(-jnp.inf)
+    s_acc = jnp.zeros((n, f), jnp.float32)
+    x_acc = jnp.full((n, f), neg_inf)
+    deg = jnp.zeros((n, 1), jnp.float32)
+    for k in range(k_tot):
+        mk = col_masks[k]  # [N, 1]
+        s_acc = s_acc + mk * msgs[k]
+        x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
+        deg = deg + mk
+    denom = jnp.maximum(deg, 1.0)
+    mean = s_acc / denom
+    var = jnp.zeros((n, f), jnp.float32)
+    for k in range(k_tot):
+        mk = col_masks[k]
+        var = var + mk * (jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER)
+    std = jnp.where(var > 0.0, jnp.sqrt(jnp.where(var > 0.0, var, 1.0)), 0.0)
+    x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
+
+    sources = (s_acc, mean, std, x_agg)
+    out = jnp.zeros((n, h), jnp.float32)
+    for j in range(4):
+        out = out + jnp.dot(
+            sources[j].astype(compute_dtype),
+            p_proj_ref[j].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    if use_pna:
+        log_deg = jnp.log(deg + 1.0)
+        amp = log_deg / PNA_DELTA
+        att = PNA_DELTA / (log_deg + SMALL_NUMBER)
+        for br, scale in ((1, amp), (2, att)):
+            part = jnp.zeros((n, h), jnp.float32)
+            for j in range(4):
+                part = part + jnp.dot(
+                    sources[j].astype(compute_dtype),
+                    p_proj_ref[br * 4 + j].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            out = out + scale * part
+    return out + b_proj_ref[0][None, :]
+
+
 def _mp_kernel(
     x_ref,        # [BG, N, H]
     onehot_ref,   # [BG, K*N, N] — host-prebuilt masked one-hot gather
@@ -133,83 +213,12 @@ def _mp_kernel(
     use_pna: bool,
     compute_dtype,
 ):
-    n = x_ref.shape[1]
-    h = x_ref.shape[2]
-    f = w_msg_ref.shape[2]
-    k_tot = sum(k_per_type)
-    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
-
     for g in range(bg):
-        x_g = x_ref[g].astype(compute_dtype)  # [N, H]
-        onehot = onehot_ref[g].astype(compute_dtype)  # [K*N, N], mask baked in
-
-        # Gather all K*N source states in one matmul; derive the per-slot
-        # column masks from the one-hot itself (row sums): both stay in
-        # the natural [rows=slots, lanes] layout — no relayouts anywhere.
-        src_states = jnp.dot(onehot, x_g, preferred_element_type=jnp.float32).astype(
-            compute_dtype
-        )  # [K*N, H]
-        ones_col = jnp.ones((n, 1), compute_dtype)
-        slot_mask = jnp.dot(onehot, ones_col, preferred_element_type=jnp.float32)  # [K*N, 1]
-
-        # Messages per slot block (same edge type => same packed weight).
-        msgs, col_masks = [], []
-        for k in range(k_tot):
-            pair = jnp.concatenate(
-                [src_states[k * n : (k + 1) * n], x_g], axis=1
-            )  # [N, 2H]
-            raw = (
-                jnp.dot(
-                    pair,
-                    w_msg_ref[type_of_slot[k]].astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                + b_msg_ref[type_of_slot[k]][None, :]
-            )
-            msgs.append(jnp.maximum(raw, 0.0))  # [N, F] f32
-            col_masks.append(slot_mask[k * n : (k + 1) * n])  # [N, 1]
-
-        # Masked aggregation over the K slots (static unroll).
-        neg_inf = jnp.float32(-jnp.inf)
-        s_acc = jnp.zeros((n, f), jnp.float32)
-        x_acc = jnp.full((n, f), neg_inf)
-        deg = jnp.zeros((n, 1), jnp.float32)
-        for k in range(k_tot):
-            mk = col_masks[k]  # [N, 1]
-            s_acc = s_acc + mk * msgs[k]
-            x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
-            deg = deg + mk
-        denom = jnp.maximum(deg, 1.0)
-        mean = s_acc / denom
-        var = jnp.zeros((n, f), jnp.float32)
-        for k in range(k_tot):
-            mk = col_masks[k]
-            var = var + mk * (jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER)
-        std = jnp.where(var > 0.0, jnp.sqrt(jnp.where(var > 0.0, var, 1.0)), 0.0)
-        x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
-
-        sources = (s_acc, mean, std, x_agg)
-        out = jnp.zeros((n, h), jnp.float32)
-        for j in range(4):
-            out = out + jnp.dot(
-                sources[j].astype(compute_dtype),
-                p_proj_ref[j].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-        if use_pna:
-            log_deg = jnp.log(deg + 1.0)
-            amp = log_deg / PNA_DELTA
-            att = PNA_DELTA / (log_deg + SMALL_NUMBER)
-            for br, scale in ((1, amp), (2, att)):
-                part = jnp.zeros((n, h), jnp.float32)
-                for j in range(4):
-                    part = part + jnp.dot(
-                        sources[j].astype(compute_dtype),
-                        p_proj_ref[br * 4 + j].astype(compute_dtype),
-                        preferred_element_type=jnp.float32,
-                    )
-                out = out + scale * part
-        out_ref[g] = (out + b_proj_ref[0][None, :]).astype(out_ref.dtype)
+        out = _mp_graph_fwd(
+            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+            k_per_type, use_pna, compute_dtype,
+        )
+        out_ref[g] = out.astype(out_ref.dtype)
 
 
 def slot_minor_onehot(in_src, in_mask, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -251,13 +260,6 @@ def _mp_bwd_kernel(
     """Backward of _mp_kernel by full in-VMEM recomputation (flash-style):
     messages/aggregates are rebuilt per graph, grads accumulated into the
     weight outputs across the sequential TPU grid."""
-    n = x_ref.shape[1]
-    h = x_ref.shape[2]
-    f = w_msg_ref.shape[2]
-    k_tot = sum(k_per_type)
-    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
-    n_types = w_msg_ref.shape[0]
-    n_branch = 3 if use_pna else 1
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -266,144 +268,164 @@ def _mp_bwd_kernel(
         dp_proj_ref[...] = jnp.zeros_like(dp_proj_ref)
         db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
 
-    neg_inf = jnp.float32(-jnp.inf)
     for g in range(bg):
-        x_g = x_ref[g].astype(compute_dtype)
-        onehot = onehot_ref[g].astype(compute_dtype)
-        grad = g_ref[g].astype(jnp.float32)  # [N, H]
-
-        # ---- recompute forward intermediates ----
-        src_states = jnp.dot(onehot, x_g, preferred_element_type=jnp.float32).astype(
-            compute_dtype
+        dx_g = _mp_graph_bwd(
+            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref,
+            g_ref[g].astype(jnp.float32),
+            dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
+            k_per_type, use_pna, compute_dtype,
         )
-        ones_col = jnp.ones((n, 1), compute_dtype)
-        slot_mask = jnp.dot(onehot, ones_col, preferred_element_type=jnp.float32)
+        dx_ref[g] = dx_g.astype(dx_ref.dtype)
 
-        pairs, raws, msgs, col_masks = [], [], [], []
-        for k in range(k_tot):
-            pair = jnp.concatenate([src_states[k * n : (k + 1) * n], x_g], axis=1)
-            raw = (
-                jnp.dot(
-                    pair,
-                    w_msg_ref[type_of_slot[k]].astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                + b_msg_ref[type_of_slot[k]][None, :]
+
+def _mp_graph_bwd(x_g_raw, onehot_raw, w_msg_ref, b_msg_ref, p_proj_ref, grad,
+                  dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
+                  k_per_type, use_pna, compute_dtype):
+    """One graph's MP backward on VMEM values: recomputes the forward
+    intermediates, accumulates weight grads into the passed refs, and
+    returns dx [N, H] f32."""
+    n, h = x_g_raw.shape[0], x_g_raw.shape[1]
+    f = w_msg_ref.shape[2]
+    k_tot = sum(k_per_type)
+    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
+    n_branch = 3 if use_pna else 1
+    neg_inf = jnp.float32(-jnp.inf)
+
+    x_g = x_g_raw.astype(compute_dtype)
+    onehot = onehot_raw.astype(compute_dtype)
+
+    # ---- recompute forward intermediates ----
+    src_states = jnp.dot(onehot, x_g, preferred_element_type=jnp.float32).astype(
+        compute_dtype
+    )
+    ones_col = jnp.ones((n, 1), compute_dtype)
+    slot_mask = jnp.dot(onehot, ones_col, preferred_element_type=jnp.float32)
+
+    pairs, raws, msgs, col_masks = [], [], [], []
+    for k in range(k_tot):
+        pair = jnp.concatenate([src_states[k * n : (k + 1) * n], x_g], axis=1)
+        raw = (
+            jnp.dot(
+                pair,
+                w_msg_ref[type_of_slot[k]].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
             )
-            pairs.append(pair)
-            raws.append(raw)
-            msgs.append(jnp.maximum(raw, 0.0))
-            col_masks.append(slot_mask[k * n : (k + 1) * n])
+            + b_msg_ref[type_of_slot[k]][None, :]
+        )
+        pairs.append(pair)
+        raws.append(raw)
+        msgs.append(jnp.maximum(raw, 0.0))
+        col_masks.append(slot_mask[k * n : (k + 1) * n])
 
-        s_acc = jnp.zeros((n, f), jnp.float32)
-        x_acc = jnp.full((n, f), neg_inf)
-        deg = jnp.zeros((n, 1), jnp.float32)
-        for k in range(k_tot):
-            mk = col_masks[k]
-            s_acc = s_acc + mk * msgs[k]
-            x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
-            deg = deg + mk
-        denom = jnp.maximum(deg, 1.0)
-        mean = s_acc / denom
-        var = jnp.zeros((n, f), jnp.float32)
-        for k in range(k_tot):
-            var = var + col_masks[k] * (
-                jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER
-            )
-        var_pos = var > 0.0
-        std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
-        x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
-        sources = (s_acc, mean, std, x_agg)
+    s_acc = jnp.zeros((n, f), jnp.float32)
+    x_acc = jnp.full((n, f), neg_inf)
+    deg = jnp.zeros((n, 1), jnp.float32)
+    for k in range(k_tot):
+        mk = col_masks[k]
+        s_acc = s_acc + mk * msgs[k]
+        x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
+        deg = deg + mk
+    denom = jnp.maximum(deg, 1.0)
+    mean = s_acc / denom
+    var = jnp.zeros((n, f), jnp.float32)
+    for k in range(k_tot):
+        var = var + col_masks[k] * (
+            jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER
+        )
+    var_pos = var > 0.0
+    std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
+    x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
+    sources = (s_acc, mean, std, x_agg)
 
-        # ---- projection backward ----
-        if use_pna:
-            log_deg = jnp.log(deg + 1.0)
-            scales = (
-                jnp.ones((n, 1), jnp.float32),
-                log_deg / PNA_DELTA,
-                PNA_DELTA / (log_deg + SMALL_NUMBER),
-            )
-        else:
-            scales = (jnp.ones((n, 1), jnp.float32),)
+    # ---- projection backward ----
+    if use_pna:
+        log_deg = jnp.log(deg + 1.0)
+        scales = (
+            jnp.ones((n, 1), jnp.float32),
+            log_deg / PNA_DELTA,
+            PNA_DELTA / (log_deg + SMALL_NUMBER),
+        )
+    else:
+        scales = (jnp.ones((n, 1), jnp.float32),)
 
-        d_src = [jnp.zeros((n, f), jnp.float32) for _ in range(4)]
-        for br in range(n_branch):
-            sg = (scales[br] * grad).astype(compute_dtype)  # [N, H]
-            for j in range(4):
-                # dP = Src^T @ (scale*G): contract over nodes (dim 0/0).
-                dp = jax.lax.dot_general(
-                    sources[j].astype(compute_dtype), sg,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dp_proj_ref[br * 4 + j] += dp
-                # dSrc = (scale*G) @ P^T: contract over H (dim 1/2... P [F, H])
-                d_src[j] = d_src[j] + jax.lax.dot_general(
-                    sg, p_proj_ref[br * 4 + j].astype(compute_dtype),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        db_proj_ref[0, :] += jnp.sum(grad, axis=0)
-
-        d_sum, d_mean_direct, d_std, d_max = d_src
-
-        # ---- aggregation backward ----
-        dvar = jnp.where(var_pos, d_std * 0.5 / jnp.where(var_pos, std, 1.0), 0.0)
-        # var -> mean and msgs
-        d_mean = d_mean_direct
-        dm_from_var = []
-        for k in range(k_tot):
-            ind = ((msgs[k] * msgs[k] - mean * mean) > 0.0).astype(jnp.float32)
-            w = col_masks[k] * dvar * ind
-            dm_from_var.append(w * 2.0 * msgs[k])
-            d_mean = d_mean - w * 2.0 * mean
-        # mean = s_acc/denom
-        d_s_from_mean = d_mean / denom
-        # max ties: even split like XLA's max grad
-        ties = []
-        tie_count = jnp.zeros((n, f), jnp.float32)
-        for k in range(k_tot):
-            t = ((col_masks[k] > 0) & (msgs[k] == x_agg)).astype(jnp.float32)
-            ties.append(t)
-            tie_count = tie_count + t
-        tie_den = jnp.maximum(tie_count, 1.0)
-
-        dx_g = jnp.zeros((n, h), jnp.float32)
-        d_src_rows = []  # per-slot d(src_states)
-        for k in range(k_tot):
-            mk = col_masks[k]
-            d_msg = (
-                mk * d_sum
-                + mk * d_s_from_mean
-                + dm_from_var[k]
-                + ties[k] / tie_den * d_max
-            )
-            d_raw = (jnp.where(raws[k] > 0.0, d_msg, 0.0)).astype(compute_dtype)
-            t = type_of_slot[k]
-            # dW += pair^T @ d_raw (contract nodes)
-            dw_msg_ref[t] += jax.lax.dot_general(
-                pairs[k], d_raw,
+    d_src = [jnp.zeros((n, f), jnp.float32) for _ in range(4)]
+    for br in range(n_branch):
+        sg = (scales[br] * grad).astype(compute_dtype)  # [N, H]
+        for j in range(4):
+            # dP = Src^T @ (scale*G): contract over nodes (dim 0/0).
+            dp = jax.lax.dot_general(
+                sources[j].astype(compute_dtype), sg,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            db_msg_ref[t] += jnp.sum(d_raw.astype(jnp.float32), axis=0)
-            # d_pair = d_raw @ W^T (contract F)
-            d_pair = jax.lax.dot_general(
-                d_raw, w_msg_ref[t].astype(compute_dtype),
+            dp_proj_ref[br * 4 + j] += dp
+            # dSrc = (scale*G) @ P^T: contract over H (dim 1/2... P [F, H])
+            d_src[j] = d_src[j] + jax.lax.dot_general(
+                sg, p_proj_ref[br * 4 + j].astype(compute_dtype),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [N, 2H]
-            d_src_rows.append(d_pair[:, :h])
-            dx_g = dx_g + d_pair[:, h:]
+            )
+    db_proj_ref[0, :] += jnp.sum(grad, axis=0)
 
-        # scatter src grads: dx += O^T @ d_src (contract slot rows)
-        d_src_all = jnp.concatenate(d_src_rows, axis=0).astype(compute_dtype)  # [K*N, H]
-        dx_g = dx_g + jax.lax.dot_general(
-            onehot, d_src_all,
+    d_sum, d_mean_direct, d_std, d_max = d_src
+
+    # ---- aggregation backward ----
+    dvar = jnp.where(var_pos, d_std * 0.5 / jnp.where(var_pos, std, 1.0), 0.0)
+    # var -> mean and msgs
+    d_mean = d_mean_direct
+    dm_from_var = []
+    for k in range(k_tot):
+        ind = ((msgs[k] * msgs[k] - mean * mean) > 0.0).astype(jnp.float32)
+        w = col_masks[k] * dvar * ind
+        dm_from_var.append(w * 2.0 * msgs[k])
+        d_mean = d_mean - w * 2.0 * mean
+    # mean = s_acc/denom
+    d_s_from_mean = d_mean / denom
+    # max ties: even split like XLA's max grad
+    ties = []
+    tie_count = jnp.zeros((n, f), jnp.float32)
+    for k in range(k_tot):
+        t = ((col_masks[k] > 0) & (msgs[k] == x_agg)).astype(jnp.float32)
+        ties.append(t)
+        tie_count = tie_count + t
+    tie_den = jnp.maximum(tie_count, 1.0)
+
+    dx_g = jnp.zeros((n, h), jnp.float32)
+    d_src_rows = []  # per-slot d(src_states)
+    for k in range(k_tot):
+        mk = col_masks[k]
+        d_msg = (
+            mk * d_sum
+            + mk * d_s_from_mean
+            + dm_from_var[k]
+            + ties[k] / tie_den * d_max
+        )
+        d_raw = (jnp.where(raws[k] > 0.0, d_msg, 0.0)).astype(compute_dtype)
+        t = type_of_slot[k]
+        # dW += pair^T @ d_raw (contract nodes)
+        dw_msg_ref[t] += jax.lax.dot_general(
+            pairs[k], d_raw,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dx_ref[g] = dx_g.astype(dx_ref.dtype)
+        db_msg_ref[t] += jnp.sum(d_raw.astype(jnp.float32), axis=0)
+        # d_pair = d_raw @ W^T (contract F)
+        d_pair = jax.lax.dot_general(
+            d_raw, w_msg_ref[t].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, 2H]
+        d_src_rows.append(d_pair[:, :h])
+        dx_g = dx_g + d_pair[:, h:]
+
+    # scatter src grads: dx += O^T @ d_src (contract slot rows)
+    d_src_all = jnp.concatenate(d_src_rows, axis=0).astype(compute_dtype)  # [K*N, H]
+    dx_g = dx_g + jax.lax.dot_general(
+        onehot, d_src_all,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dx_g
 
 
 @functools.partial(
@@ -529,6 +551,340 @@ def _make_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
             db_msg.astype(b_msg.dtype),
             dp_proj.astype(p_proj.dtype),
             db_proj.astype(jnp.float32),
+        )
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
+# Whole-GNNBlock fusion: MP + ReZero residual + LayerNorm + BOOM + residual
+# in ONE kernel. The XLA tail of a block (LN -> Dense(H, I) -> leaky_relu ->
+# Dense(I, H) -> alpha-residual) otherwise costs four more HBM round-trips of
+# the [G*N, H] stream plus a [G*N, I] intermediate per block; here the BOOM
+# intermediate lives and dies in VMEM. Parity: GNNBlock's dense path with
+# dropout inactive (modules/gnn.py:497-557).
+# ---------------------------------------------------------------------------
+
+LN_EPS = 1e-6  # flax nn.LayerNorm default
+
+
+def pack_boom_params(block_params, compute_dtype=jnp.bfloat16):
+    """Pack flax boom_norm/boom params for the fused block kernel.
+    Returns (ln_scale [1,H], ln_bias [1,H], w1 [H,I], b1 [1,I],
+    w2 [I,H], b2 [1,H])."""
+    ln = block_params["boom_norm"]
+    boom = block_params["boom"]
+    return (
+        jnp.asarray(ln["scale"], jnp.float32).reshape(1, -1),
+        jnp.asarray(ln["bias"], jnp.float32).reshape(1, -1),
+        jnp.asarray(boom["linear1"]["kernel"], compute_dtype),
+        jnp.asarray(boom["linear1"]["bias"], jnp.float32).reshape(1, -1),
+        jnp.asarray(boom["linear2"]["kernel"], compute_dtype),
+        jnp.asarray(boom["linear2"]["bias"], jnp.float32).reshape(1, -1),
+    )
+
+
+def _boom_graph_fwd(x1, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    alpha, compute_dtype):
+    """x1 [N, H] f32 -> (out, zh, inv_sigma, z, p, h1, q) — forward of
+    x1 + alpha * boom(LN(x1)) with intermediates for the backward."""
+    mu = jnp.mean(x1, axis=1, keepdims=True)
+    xc = x1 - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    inv_sigma = jax.lax.rsqrt(var + LN_EPS)
+    zh = xc * inv_sigma
+    z = zh * ln_scale_ref[0][None, :] + ln_bias_ref[0][None, :]
+    p = (
+        jnp.dot(z.astype(compute_dtype), w1_ref[...], preferred_element_type=jnp.float32)
+        + b1_ref[0][None, :]
+    )
+    h1 = jnp.where(p > 0.0, p, 0.01 * p)  # leaky_relu, flax default slope
+    q = (
+        jnp.dot(h1.astype(compute_dtype), w2_ref[...], preferred_element_type=jnp.float32)
+        + b2_ref[0][None, :]
+    )
+    q = q.astype(compute_dtype).astype(jnp.float32)  # flax BOOM output dtype
+    return x1 + alpha * q, zh, inv_sigma, z, p, h1, q
+
+
+def _block_kernel(
+    x_ref, onehot_ref, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+    alpha_ref,      # [1, 1] f32
+    ln_scale_ref, ln_bias_ref,  # [1, H]
+    w1_ref, b1_ref, w2_ref, b2_ref,  # [H, I], [1, I], [I, H], [1, H]
+    out_ref,        # [BG, N, H] f32
+    *, bg, k_per_type, use_pna, compute_dtype,
+):
+    alpha = alpha_ref[0, 0]
+    n, h = x_ref.shape[1], x_ref.shape[2]
+    # MP runs per graph (edge structure is per-graph), but BOOM is row-
+    # parallel: batch it over ALL bg*N rows so the [*, H] @ [H, I] matmuls
+    # fill the MXU instead of running bg tiny 40-row matmuls.
+    x1_rows = []
+    for g in range(bg):
+        m = _mp_graph_fwd(
+            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+            k_per_type, use_pna, compute_dtype,
+        )
+        # Match the unfused path's numerics: the update passes through the
+        # compute dtype before joining the f32 residual stream.
+        m = m.astype(compute_dtype).astype(jnp.float32)
+        x1_rows.append(x_ref[g].astype(jnp.float32) + alpha * m)
+    x1 = jnp.concatenate(x1_rows, axis=0)  # [bg*N, H]
+    out, *_ = _boom_graph_fwd(
+        x1, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        alpha, compute_dtype,
+    )
+    out_ref[...] = out.reshape(bg, n, h).astype(out_ref.dtype)
+
+
+def _block_bwd_kernel(
+    x_ref, onehot_ref, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+    alpha_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    g_ref,
+    dx_ref, dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
+    dalpha_ref,     # [1, 1]
+    dln_scale_ref, dln_bias_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, bg, k_per_type, use_pna, compute_dtype,
+):
+    """Backward by full in-VMEM recomputation; weight grads accumulate
+    across the sequential grid like _mp_bwd_kernel."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_msg_ref[...] = jnp.zeros_like(dw_msg_ref)
+        db_msg_ref[...] = jnp.zeros_like(db_msg_ref)
+        dp_proj_ref[...] = jnp.zeros_like(dp_proj_ref)
+        db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
+        dalpha_ref[0, 0] = 0.0
+        dln_scale_ref[...] = jnp.zeros_like(dln_scale_ref)
+        dln_bias_ref[...] = jnp.zeros_like(dln_bias_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    alpha = alpha_ref[0, 0]
+    n, h = x_ref.shape[1], x_ref.shape[2]
+
+    # Recompute every graph's MP update, then run the BOOM fwd+bwd ONCE
+    # over all bg*N rows (MXU-sized matmuls), then feed per-graph dm back
+    # through the MP backward.
+    m_rows = []
+    for g in range(bg):
+        m = _mp_graph_fwd(
+            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+            k_per_type, use_pna, compute_dtype,
+        )
+        m_rows.append(m.astype(compute_dtype).astype(jnp.float32))
+    m_all = jnp.concatenate(m_rows, axis=0)            # [bg*N, H]
+    x_all = x_ref[...].astype(jnp.float32).reshape(bg * n, h)
+    gout = g_ref[...].astype(jnp.float32).reshape(bg * n, h)
+    x1 = x_all + alpha * m_all
+    _, zh, inv_sigma, z, p, h1, q = _boom_graph_fwd(
+        x1, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        alpha, compute_dtype,
+    )
+
+    # ---- BOOM backward (whole block at once) ----
+    dq = alpha * gout
+    dq_cd = dq.astype(compute_dtype)
+    h1_cd = h1.astype(compute_dtype)
+    dw2_ref[...] += jax.lax.dot_general(
+        h1_cd, dq_cd, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[0, :] += jnp.sum(dq, axis=0)
+    dh1 = jax.lax.dot_general(
+        dq_cd, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jnp.where(p > 0.0, dh1, 0.01 * dh1)
+    dp_cd = dp.astype(compute_dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        z.astype(compute_dtype), dp_cd,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[0, :] += jnp.sum(dp, axis=0)
+    dz = jax.lax.dot_general(
+        dp_cd, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dln_scale_ref[0, :] += jnp.sum(dz * zh, axis=0)
+    dln_bias_ref[0, :] += jnp.sum(dz, axis=0)
+    dzh = dz * ln_scale_ref[0][None, :]
+    # LayerNorm backward (per row over H)
+    mean_dzh = jnp.mean(dzh, axis=1, keepdims=True)
+    mean_dzh_zh = jnp.mean(dzh * zh, axis=1, keepdims=True)
+    dx1_ln = (dzh - mean_dzh - zh * mean_dzh_zh) * inv_sigma
+
+    dx1 = gout + dx1_ln
+    dalpha_ref[0, 0] = dalpha_ref[0, 0] + jnp.sum(gout * q) + jnp.sum(dx1 * m_all)
+    dm = alpha * dx1
+
+    for g in range(bg):
+        dx_mp = _mp_graph_bwd(
+            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref,
+            dm[g * n : (g + 1) * n], dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
+            k_per_type, use_pna, compute_dtype,
+        )
+        dx_ref[g] = (dx1[g * n : (g + 1) * n] + dx_mp).astype(dx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_per_type", "use_pna", "block_graphs", "interpret", "compute_dtype"),
+)
+def fused_gnn_block(
+    x, onehot, w_msg, b_msg, p_proj, b_proj, alpha,
+    ln_scale, ln_bias, w1, b1, w2, b2,
+    *, k_per_type, use_pna=True, block_graphs=16, interpret=False,
+    compute_dtype=jnp.bfloat16,
+):
+    """One whole GNNBlock on the dense layout: returns the next residual
+    stream [G, N, H] f32 (x after MP residual AND BOOM residual)."""
+    g, n, h = x.shape
+    bg = min(block_graphs, g)
+    pad = (-g) % bg
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, n, h), x.dtype)])
+        onehot = jnp.concatenate(
+            [onehot, jnp.zeros((pad,) + onehot.shape[1:], onehot.dtype)]
+        )
+    op = _make_block_op(
+        tuple(k_per_type), use_pna, bg, interpret, jnp.dtype(compute_dtype).name
+    )
+    out = op(
+        x, onehot, w_msg, b_msg, p_proj, b_proj.reshape(1, -1),
+        jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+        ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return out[:g]
+
+
+def _block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim):
+    blocked = lambda idx: (idx, 0, 0)
+    fixed = lambda idx: (0, 0)
+    fixed3 = lambda idx: (0, 0, 0)
+    n = x.shape[1]
+    return [
+        pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
+        pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),     # alpha
+        pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),     # ln_scale
+        pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),     # ln_bias
+        pl.BlockSpec((h, i_dim), fixed, memory_space=pltpu.VMEM),  # w1
+        pl.BlockSpec((1, i_dim), fixed, memory_space=pltpu.VMEM),  # b1
+        pl.BlockSpec((i_dim, h), fixed, memory_space=pltpu.VMEM),  # w2
+        pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),     # b2
+    ]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_block_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    static = dict(
+        bg=bg, k_per_type=k_per_type, use_pna=use_pna, compute_dtype=compute_dtype
+    )
+
+    def fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+                 ln_scale, ln_bias, w1, b1, w2, b2):
+        gp, n, h = x.shape
+        i_dim = w1.shape[1]
+        blocked = lambda idx: (idx, 0, 0)
+        return pl.pallas_call(
+            functools.partial(_block_kernel, **static),
+            out_shape=jax.ShapeDtypeStruct((gp, n, h), jnp.float32),
+            grid=(gp // bg,),
+            in_specs=_block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim),
+            out_specs=pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+          ln_scale, ln_bias, w1, b1, w2, b2)
+
+    def bwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+                 ln_scale, ln_bias, w1, b1, w2, b2, grad):
+        gp, n, h = x.shape
+        i_dim = w1.shape[1]
+        blocked = lambda idx: (idx, 0, 0)
+        fixed = lambda idx: (0, 0)
+        fixed3 = lambda idx: (0, 0, 0)
+        in_specs = _block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim) + [
+            pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),  # grad
+        ]
+        return pl.pallas_call(
+            functools.partial(_block_bwd_kernel, **static),
+            out_shape=(
+                jax.ShapeDtypeStruct((gp, n, h), jnp.float32),   # dx
+                jax.ShapeDtypeStruct(w_msg.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b_msg.shape, jnp.float32),
+                jax.ShapeDtypeStruct(p_proj.shape, jnp.float32),
+                jax.ShapeDtypeStruct((1, h), jnp.float32),       # db_proj
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),       # dalpha
+                jax.ShapeDtypeStruct((1, h), jnp.float32),       # dln_scale
+                jax.ShapeDtypeStruct((1, h), jnp.float32),       # dln_bias
+                jax.ShapeDtypeStruct((h, i_dim), jnp.float32),   # dw1
+                jax.ShapeDtypeStruct((1, i_dim), jnp.float32),   # db1
+                jax.ShapeDtypeStruct((i_dim, h), jnp.float32),   # dw2
+                jax.ShapeDtypeStruct((1, h), jnp.float32),       # db2
+            ),
+            grid=(gp // bg,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
+                pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM),  # dalpha
+                pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, i_dim), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, i_dim), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((i_dim, h), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+          ln_scale, ln_bias, w1, b1, w2, b2, grad)
+
+    @jax.custom_vjp
+    def op(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+           ln_scale, ln_bias, w1, b1, w2, b2):
+        return fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+                        ln_scale, ln_bias, w1, b1, w2, b2)
+
+    def fwd(*args):
+        return fwd_call(*args), args
+
+    def bwd(res, grad):
+        (x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+         ln_scale, ln_bias, w1, b1, w2, b2) = res
+        (dx, dw_msg, db_msg, dp_proj, db_proj, dalpha,
+         dln_scale, dln_bias, dw1, db1, dw2, db2) = bwd_call(
+            x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+            ln_scale, ln_bias, w1, b1, w2, b2, grad,
+        )
+        return (
+            dx.astype(x.dtype),
+            jnp.zeros_like(onehot),
+            dw_msg.astype(w_msg.dtype),
+            db_msg.astype(b_msg.dtype),
+            dp_proj.astype(p_proj.dtype),
+            db_proj.astype(jnp.float32),
+            dalpha.astype(jnp.float32),
+            dln_scale.astype(ln_scale.dtype),
+            dln_bias.astype(ln_bias.dtype),
+            dw1.astype(w1.dtype),
+            db1.astype(jnp.float32),
+            dw2.astype(w2.dtype),
+            db2.astype(jnp.float32),
         )
 
     op.defvjp(fwd, bwd)

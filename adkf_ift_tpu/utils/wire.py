@@ -31,7 +31,7 @@ import numpy as np
 # Widening ladders (lossless at every rung). A leaf's schema entry can
 # only move right, never left — that is what makes signatures stable.
 _FLOAT_LADDER = ("uint8", "uint16", "float32")
-_INT_LADDER = ("int16", "int32", "int64")
+_INT_LADDER = ("int8", "int16", "int32", "int64")
 
 
 def _candidate_dtype(x: np.ndarray) -> str:
@@ -46,7 +46,12 @@ def _candidate_dtype(x: np.ndarray) -> str:
                 return "uint8" if mx <= 255.0 else "uint16"
         return "float32"
     if x.dtype in (np.int32, np.int64):
-        if x.size == 0 or (x.min() >= -32768 and x.max() < 32768):
+        if x.size == 0:
+            return "int8"
+        mn, mx = x.min(), x.max()
+        if mn >= -128 and mx < 128:
+            return "int8"  # node indices on the dense layout fit here
+        if mn >= -32768 and mx < 32768:
             return "int16"
         return str(x.dtype)
     return str(x.dtype)
@@ -91,7 +96,7 @@ def compress_batch(batch):
 def _decompress_leaf(x):
     if x.dtype in (jnp.uint8, jnp.uint16):
         return x.astype(jnp.float32)
-    if x.dtype == jnp.int16:
+    if x.dtype in (jnp.int8, jnp.int16):
         return x.astype(jnp.int32)
     return x
 

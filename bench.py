@@ -79,6 +79,7 @@ def main():
                     mp_impl=mp_impl,
                     remat_blocks=False,
                     pallas_block_graphs=int(os.environ.get("BENCH_BLOCK_GRAPHS", "16")),
+                    pallas_fuse_boom=os.environ.get("BENCH_FUSE_BOOM", "1") == "1",
                 )
             )
         )

@@ -167,7 +167,43 @@ def main():
     }
 
     results = {}
+    if "oracle" in args.arms.split(","):
+        # Ceiling: logistic regression on the TEACHER's own graph
+        # embeddings at the same support size over the same episode splits.
+        from sklearn.linear_model import LogisticRegression
+        from adkf_ift_tpu.utils.synthetic import _teacher_embed
+
+        deltas = []
+        for task in test_tasks:
+            H = {
+                id(m): _teacher_embed(m.graph.node_features, m.graph.adjacency_lists)
+                for m in task.samples
+            }
+            for run in range(8):
+                try:
+                    s = sampler.sample(task, seed=5000 + run)
+                except Exception:
+                    continue
+                Xs = np.stack([H[id(m)] for m in s.train_samples])
+                ys = np.array([m.bool_label for m in s.train_samples])
+                Xq = np.stack([H[id(m)] for m in s.test_samples])
+                yq = np.array([m.bool_label for m in s.test_samples])
+                lr_probe = LogisticRegression(max_iter=2000).fit(Xs, ys)
+                from sklearn.metrics import average_precision_score
+
+                deltas.append(
+                    average_precision_score(yq, lr_probe.predict_proba(Xq)[:, 1])
+                    - yq.mean()
+                )
+        d = np.asarray(deltas)
+        results["oracle"] = dict(
+            mean=float(d.mean()), sem=float(d.std() / np.sqrt(len(d))), n=len(d)
+        )
+        print(f"  oracle: ΔAUPRC {results['oracle']['mean']:.4f} ± {results['oracle']['sem']:.4f}", flush=True)
+
     for name in args.arms.split(","):
+        if name == "oracle":
+            continue
         arm = arms[name]
         print(f"=== arm {name} ===", flush=True)
         params = arm["params"]

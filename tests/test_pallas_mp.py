@@ -230,3 +230,71 @@ def test_fused_mp_pads_partial_block():
     )
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=2e-4), np.abs(got - want).max()
+
+
+def test_fused_whole_block_matches_xla_block():
+    """fused_gnn_block (MP + ReZero residual + LayerNorm + BOOM + residual
+    in one kernel) vs the XLA dense GNNBlock under identical flax params:
+    forward parity AND full parameter-tree gradient parity."""
+    from adkf_ift_tpu.modules.gnn import GNNBlock
+
+    g, n, hidden, towers, per_head = 5, 48, 32, 2, 8
+    rng = np.random.RandomState(7)
+    in_src = tuple(
+        jnp.asarray(rng.randint(0, n, size=(g, n, kt)).astype(np.int32))
+        for kt in K_PER_TYPE
+    )
+    in_mask = tuple(jnp.ones((g, n, kt), jnp.float32) for kt in K_PER_TYPE)
+    x = jnp.asarray(rng.randn(g, n, hidden).astype(np.float32))
+    r = jnp.asarray(rng.randn(g, n, hidden).astype(np.float32))
+
+    def cfg(mp_impl):
+        return GNNConfig(
+            type="PNA", hidden_dim=hidden, num_heads=towers, per_head_dim=per_head,
+            intermediate_dim=64, dtype="float32", mp_impl=mp_impl,
+            pallas_interpret=True, pallas_block_graphs=3,
+        )
+
+    from adkf_ift_tpu.ops.pallas.message_passing import slot_minor_onehot
+
+    onehot = slot_minor_onehot(in_src, in_mask, dtype=jnp.float32)
+    xla_block = GNNBlock(cfg("xla"))
+    pallas_block = GNNBlock(cfg("pallas"))
+    params = xla_block.init(jax.random.PRNGKey(2), x, in_src, None, in_mask)
+    params_p = pallas_block.init(jax.random.PRNGKey(2), x, in_src, onehot, in_mask)
+    assert jax.tree.structure(params) == jax.tree.structure(params_p)
+    # ReZero alpha starts ~0; bump it so the whole block (incl. BOOM) has
+    # non-trivial forward signal and gradients.
+    params = jax.tree.map(lambda a: a, params)
+    params["params"]["alpha"] = jnp.asarray([0.5], jnp.float32)
+
+    out_xla = np.asarray(xla_block.apply(params, x, in_src, None, in_mask))
+    out_pal = np.asarray(pallas_block.apply(params, x, in_src, onehot, in_mask))
+    assert np.allclose(out_xla, out_pal, atol=3e-4), np.abs(out_xla - out_pal).max()
+
+    gx_want, gp_want = jax.grad(
+        lambda x_, p_: jnp.sum(xla_block.apply(p_, x_, in_src, None, in_mask) * r),
+        argnums=(0, 1),
+    )(x, params)
+    gx, gp = jax.grad(
+        lambda x_, p_: jnp.sum(pallas_block.apply(p_, x_, in_src, onehot, in_mask) * r),
+        argnums=(0, 1),
+    )(x, params)
+
+    def close_bulk(a, b, q=5e-3, name=""):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+        assert cos > 0.999, (name, cos)
+        assert np.quantile(np.abs(a - b), 0.98) < q, (name, np.quantile(np.abs(a - b), 0.98))
+
+    close_bulk(gx, gx_want, name="dx")
+    flat_want = jax.tree_util.tree_leaves_with_path(gp_want)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, want in flat_want:
+        got = flat_got[path]
+        name = jax.tree_util.keystr(path)
+        assert got.shape == want.shape, name
+        if float(jnp.linalg.norm(want)) == 0.0:
+            assert float(jnp.linalg.norm(got)) < 1e-5, name
+        else:
+            close_bulk(got, want, name=name)
