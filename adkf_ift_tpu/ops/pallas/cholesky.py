@@ -159,12 +159,41 @@ def _pallas_cholesky(a: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     )(a.astype(jnp.float32))
 
 
+@jax.custom_vjp
+def _chol_pallas_diff(a: jnp.ndarray) -> jnp.ndarray:
+    return _pallas_cholesky(a, interpret=False)
+
+
+def _chol_fwd(a):
+    l = _pallas_cholesky(a, interpret=False)
+    return l, l
+
+
+def _chol_bwd(l, l_bar):
+    """Standard Cholesky pullback from the factor (Murray 2016): with
+    P = Phi(L^T Lbar) (lower triangle, halved diagonal),
+    Abar = sym(L^{-T} P L^{-1}) — plain XLA triangular solves, so the
+    kernel needs no backward of its own."""
+    m = jnp.matmul(l.T, l_bar, precision=_HIGHEST)
+    phi = jnp.tril(m) - 0.5 * jnp.diag(jnp.diag(m))
+    # X = L^{-T} phi L^{-1}: solve L^T X1 = phi, then X L = X1 -> X = X1 L^{-1}
+    x1 = jax.scipy.linalg.solve_triangular(l, phi, lower=True, trans=1)
+    x = jax.scipy.linalg.solve_triangular(l, x1.T, lower=True, trans=1).T
+    return (0.5 * (x + x.T),)
+
+
+_chol_pallas_diff.defvjp(_chol_fwd, _chol_bwd)
+
+
 def blocked_cholesky(a: jnp.ndarray, force: bool = False, interpret: bool | None = None) -> jnp.ndarray:
     """Lower Cholesky factor of an SPD matrix.
 
     Routes to the Pallas kernel on TPU for n >= MIN_PALLAS_DIM (padding
     to a BLOCK multiple with an identity diagonal), otherwise to
-    jnp.linalg.cholesky. `force` + `interpret` exist for testing.
+    jnp.linalg.cholesky. Differentiable on both routes (the kernel route
+    carries a custom_vjp computing the standard Cholesky pullback from
+    the factor with XLA triangular solves). `force` + `interpret` exist
+    for testing.
     """
     n = a.shape[0]
     if not force and n < MIN_PALLAS_DIM:
@@ -182,5 +211,8 @@ def blocked_cholesky(a: jnp.ndarray, force: bool = False, interpret: bool | None
         padded = jnp.eye(n_pad, dtype=jnp.float32).at[:n, :n].set(a)
     else:
         padded = a
-    l = _pallas_cholesky(padded, interpret=interpret)
+    if interpret:
+        l = _pallas_cholesky(padded, interpret=True)
+    else:
+        l = _chol_pallas_diff(padded)
     return l[:n, :n]

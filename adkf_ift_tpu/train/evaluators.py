@@ -85,7 +85,7 @@ def make_predict_fn(kind: str, config, regression: bool = False) -> Callable:
     # the tunnel's host->device path dominates per-episode latency. One
     # codec per predict_fn keeps the jitted signature stable across
     # episodes (value-dependent dtypes would recompile mid-sweep).
-    codec = WireCodec()
+    codec = WireCodec(sparse_counts_budget=192)
     jitted = jax.jit(lambda p, e: raw(p, decompress_batch(e)))
 
     def predict(params, episode: Episode) -> np.ndarray:

@@ -59,6 +59,10 @@ class TrainLoopConfig:
     # ~1.3 steps/s at the bench configuration.
     compress_wire: bool = True
     prefetch_batches: int = 2
+    # Nonzero budget for the sparse fingerprint wire (utils/wire.SparseCounts,
+    # ~3.5x fewer fp bytes); 0 disables. Leaves exceeding the budget fall
+    # back to dense permanently (stable jit signature).
+    sparse_fp_budget: int = 192
 
 
 def episode_stream(
@@ -158,6 +162,7 @@ def _device_batch_pipeline(
     shard_batch: Optional[Callable],
     compress: bool,
     depth: int,
+    sparse_fp_budget: int = 0,
 ):
     """Background thread: stack + (optionally) compress + device_put the
     next `depth` batches so the host->device transfer overlaps the
@@ -173,7 +178,7 @@ def _device_batch_pipeline(
     stop = threading.Event()
     # Stable per-leaf dtype schema across the whole run: a batch-dependent
     # signature would recompile the step mid-training (ADVICE r1).
-    codec = WireCodec()
+    codec = WireCodec(sparse_counts_budget=sparse_fp_budget)
 
     def blocking_put(item):
         """Stop-aware put that never silently drops `item`."""
@@ -281,6 +286,7 @@ def train_loop(
         shard_batch,
         compress=loop_config.compress_wire,
         depth=loop_config.prefetch_batches,
+        sparse_fp_budget=loop_config.sparse_fp_budget,
     )
 
     window_losses = []

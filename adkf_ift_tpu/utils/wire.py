@@ -66,11 +66,68 @@ def _widen(recorded: str, candidate: str) -> str:
     return candidate
 
 
-class WireCodec:
-    """Stateful compressor with a monotone per-leaf-path dtype schema."""
+class SparseCounts:
+    """Sparse last-axis encoding of a count tensor (fingerprints): the
+    positions of (up to) `budget` nonzeros per row + their values. A
+    registered pytree whose dense width rides in static aux data, so it
+    crosses device_put/jit boundaries and decompresses on-device."""
 
-    def __init__(self):
+    def __init__(self, indices, values, dense_size: int):
+        self.indices = indices  # [..., K] int16
+        self.values = values    # [..., K] uint8/uint16
+        self.dense_size = int(dense_size)
+
+
+jax.tree_util.register_pytree_node(
+    SparseCounts,
+    lambda sp: ((sp.indices, sp.values), sp.dense_size),
+    lambda dense_size, children: SparseCounts(children[0], children[1], dense_size),
+)
+
+
+def _sparsify_counts(x: np.ndarray, budget: int):
+    """[..., D] nonnegative integral float array -> SparseCounts, or None
+    if any row has more than `budget` nonzeros."""
+    nz = x != 0
+    if x.size and int(nz.sum(axis=-1).max()) > budget:
+        return None
+    # stable argsort of (is-zero) puts nonzero positions first, in order.
+    order = np.argsort(~nz, axis=-1, kind="stable")[..., :budget]
+    vals = np.take_along_axis(x, order, axis=-1)  # pad slots read zeros
+    mx = vals.max() if vals.size else 0
+    vdtype = np.uint8 if mx <= 255 else np.uint16
+    return SparseCounts(order.astype(np.int16), vals.astype(vdtype), x.shape[-1])
+
+
+def _densify_counts(sp: SparseCounts) -> jnp.ndarray:
+    """On-device (traced) scatter back to the dense [..., D] float32."""
+    idx = sp.indices.astype(jnp.int32)
+    vals = sp.values.astype(jnp.float32)
+    lead = idx.shape[:-1]
+    k = idx.shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    flat_vals = vals.reshape(-1, k)
+    rows = flat_idx.shape[0]
+    dense = jnp.zeros((rows, sp.dense_size), jnp.float32)
+    # pad slots carry value 0 -> scatter-add of zero is a no-op.
+    dense = dense.at[jnp.arange(rows)[:, None], flat_idx].add(flat_vals)
+    return dense.reshape(*lead, sp.dense_size)
+
+
+class WireCodec:
+    """Stateful compressor with a monotone per-leaf-path dtype schema.
+
+    sparse_counts_budget: when set, leaves whose path contains
+    "fingerprints" additionally go over the wire as SparseCounts
+    (indices+values of the nonzeros) — a further ~3.5x on ECFP count
+    vectors. The decision is monotone per leaf: the first batch that
+    exceeds the nonzero budget demotes that leaf to dense forever, so the
+    jitted signature changes at most once."""
+
+    def __init__(self, sparse_counts_budget: int = 0):
         self._schema: dict = {}
+        self._sparse_ok: dict = {}
+        self._budget = int(sparse_counts_budget)
 
     def compress(self, batch):
         flat, treedef = jax.tree_util.tree_flatten_with_path(batch)
@@ -78,6 +135,23 @@ class WireCodec:
         for path, leaf in flat:
             x = np.asarray(leaf)
             key = jax.tree_util.keystr(path)
+            if (
+                self._budget > 0
+                and "fingerprints" in key
+                and x.dtype == np.float32
+                and self._sparse_ok.get(key, True)
+            ):
+                mn = x.min() if x.size else 0.0
+                sp = (
+                    _sparsify_counts(x, self._budget)
+                    if (mn >= 0.0 and (not x.size or np.all(x == np.rint(x))))
+                    else None
+                )
+                if sp is None:
+                    self._sparse_ok[key] = False  # dense forever: stable signature
+                else:
+                    out.append(sp)
+                    continue
             cand = _candidate_dtype(x)
             recorded = self._schema.get(key)
             dtype = cand if recorded is None else _widen(recorded, cand)
@@ -102,5 +176,10 @@ def _decompress_leaf(x):
 
 
 def decompress_batch(batch):
-    """On-device (traced) restore to the episode's native dtypes."""
-    return jax.tree.map(_decompress_leaf, batch)
+    """On-device (traced) restore to the episode's native dtypes
+    (including scattering SparseCounts leaves back to dense)."""
+    return jax.tree.map(
+        lambda x: _densify_counts(x) if isinstance(x, SparseCounts) else _decompress_leaf(x),
+        batch,
+        is_leaf=lambda x: isinstance(x, SparseCounts),
+    )

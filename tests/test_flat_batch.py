@@ -158,6 +158,36 @@ def test_wire_codec_schema_is_stable_and_monotone():
     assert codec.compress(small)["fp"].dtype == np.float32
 
 
+def test_sparse_fingerprint_wire_roundtrip_and_fallback():
+    """SparseCounts fingerprints wire: lossless scatter back to dense on
+    device; rows exceeding the nonzero budget demote the leaf to dense
+    permanently (monotone, signature-stable)."""
+    from adkf_ift_tpu.utils.wire import SparseCounts, WireCodec, decompress_batch
+
+    rng = np.random.RandomState(0)
+    fp = (rng.rand(3, 5, 64) < 0.2).astype(np.float32) * rng.randint(
+        1, 9, size=(3, 5, 64)
+    ).astype(np.float32)
+    batch = {"support": {"fingerprints": fp, "other": fp.copy()}}
+    codec = WireCodec(sparse_counts_budget=32)
+    comp = codec.compress(batch)
+    assert isinstance(comp["support"]["fingerprints"], SparseCounts)
+    # a non-fingerprints leaf never sparsifies
+    assert not isinstance(comp["support"]["other"], SparseCounts)
+    restored = jax.device_get(decompress_batch(jax.device_put(comp)))
+    np.testing.assert_array_equal(np.asarray(restored["support"]["fingerprints"]), fp)
+
+    # over-budget batch -> dense forever, even for later sparse batches
+    dense_fp = np.ones((3, 5, 64), np.float32)
+    comp2 = codec.compress({"support": {"fingerprints": dense_fp, "other": fp}})
+    assert not isinstance(comp2["support"]["fingerprints"], SparseCounts)
+    comp3 = codec.compress(batch)
+    assert not isinstance(comp3["support"]["fingerprints"], SparseCounts)
+    np.testing.assert_array_equal(
+        np.asarray(decompress_batch(jax.device_put(comp3))["support"]["fingerprints"]), fp
+    )
+
+
 def test_meta_train_step_with_batch_loss_fn_trains():
     cfg = adkf.ADKFModelConfig(
         features=_tiny(), inner_optimizer=LBFGSConfig(max_iters=10, history=4, max_growth=3, max_backtrack=8)

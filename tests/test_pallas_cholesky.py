@@ -36,3 +36,27 @@ def test_small_matrices_route_to_xla():
     out = np.asarray(blocked_cholesky(jnp.asarray(a)))
     ref = np.asarray(jnp.linalg.cholesky(jnp.asarray(a)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cholesky_custom_vjp_formula_matches_xla():
+    """The kernel route's custom_vjp pullback (Phi formula with triangular
+    solves) must match jax's cholesky VJP exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from adkf_ift_tpu.ops.pallas.cholesky import _chol_bwd
+
+    rng = np.random.RandomState(5)
+    n = 96
+    b = rng.randn(n, n).astype(np.float32) / np.sqrt(n)
+    a = jnp.asarray(b @ b.T + 1e-1 * np.eye(n, dtype=np.float32))
+    l_bar = jnp.asarray(rng.randn(n, n).astype(np.float32))
+
+    l, vjp = jax.vjp(jnp.linalg.cholesky, a)
+    (want,) = vjp(l_bar)
+    (got,) = _chol_bwd(l, l_bar)
+    # jax's pullback returns the non-symmetrized cotangent for the
+    # (symmetric) input; both are valid pullbacks of the same function on
+    # the symmetric subspace — compare symmetrized.
+    want_s = 0.5 * (want + want.T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_s), rtol=2e-4, atol=2e-4)
