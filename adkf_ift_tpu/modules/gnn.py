@@ -67,7 +67,13 @@ class GNNConfig:
     # flat XLA path per MP+projection stack on v5e (benchmarks/
     # pallas_mp_bench.py). Other families/layouts fall back to XLA.
     mp_impl: str = "xla"
-    pallas_block_graphs: int = 16
+    # Graphs per kernel invocation. 8 is the measured optimum on v5e:
+    # the whole-block batched matmuls ([8*N, 2H] per edge slot) fill the
+    # MXU while the forward's VMEM live set stays under the 16 MB scoped
+    # limit (16 OOMs); the backward holds ~2x and runs on its own block
+    # of pallas_bwd_block_graphs (None = block_graphs // 4).
+    pallas_block_graphs: int = 8
+    pallas_bwd_block_graphs: int | None = None
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
     # Whole-block fusion (MP + residual + LN + BOOM in one kernel) on the
     # pallas path; False = fused-MP kernel + XLA BOOM tail. Default False:
@@ -568,6 +574,7 @@ class GNNBlock(nn.Module):
                     alpha[0], ln_scale, ln_bias, w1, b1, w2, b2,
                     k_per_type=k_per_type, use_pna=(kind == "pna"),
                     block_graphs=cfg.pallas_block_graphs,
+                    bwd_block_graphs=cfg.pallas_bwd_block_graphs,
                     interpret=cfg.pallas_interpret,
                     compute_dtype=cfg.compute_dtype,
                 )
@@ -576,6 +583,7 @@ class GNNBlock(nn.Module):
                 x.astype(jnp.float32), edge_targets, w_msg, b_msg, p_proj, b_proj,
                 k_per_type=k_per_type, use_pna=(kind == "pna"),
                 block_graphs=cfg.pallas_block_graphs,
+                bwd_block_graphs=cfg.pallas_bwd_block_graphs,
                 interpret=cfg.pallas_interpret,
                 compute_dtype=cfg.compute_dtype,
             ).astype(cfg.compute_dtype)

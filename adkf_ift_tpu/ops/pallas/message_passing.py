@@ -119,32 +119,52 @@ def pack_mp_params(
     )
 
 
-def _mp_graph_fwd(x_g, onehot, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
-                  k_per_type, use_pna, compute_dtype):
-    """One graph's fused MP + projection, entirely on VMEM values:
-    returns the pre-residual update [N, H] f32 (incl. projection bias)."""
-    n, h = x_g.shape[0], x_g.shape[1]
+def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
+                  b_proj_ref, k_per_type, use_pna, compute_dtype):
+    """Fused MP + projection for a WHOLE graph block on VMEM values.
+
+    Only the one-hot gather is per-graph (it is block-diagonal across
+    graphs); messages, aggregation, and projection are batched over all
+    bg*N rows so each matmul is MXU-sized ([bg*N, 2H] @ [2H, F] per edge
+    slot instead of bg tiny [N, 2H] matmuls — 16x fewer, 16x fatter).
+    Returns the pre-residual update [bg, N, H] f32 (incl. projection bias).
+    """
+    bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
     f = w_msg_ref.shape[2]
     k_tot = sum(k_per_type)
     type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
-    x_cd = x_g.astype(compute_dtype)
-    oh_cd = onehot.astype(compute_dtype)
+    x_cd = x_block.astype(compute_dtype)
+    x_flat = x_cd.reshape(bg * n, h)
 
-    # Gather all K*N source states in one matmul; derive the per-slot
-    # column masks from the one-hot itself (row sums): both stay in
-    # the natural [rows=slots, lanes] layout — no relayouts anywhere.
-    src_states = jnp.dot(oh_cd, x_cd, preferred_element_type=jnp.float32).astype(
-        compute_dtype
-    )  # [K*N, H]
+    # Per-graph gathers (block-diagonal): [K*N, N] @ [N, H]; masks from
+    # the one-hot's row sums — no relayouts anywhere.
     ones_col = jnp.ones((n, 1), compute_dtype)
-    slot_mask = jnp.dot(oh_cd, ones_col, preferred_element_type=jnp.float32)  # [K*N, 1]
+    src_rows, mask_rows = [], []
+    for g in range(bg):
+        oh = onehot_block[g].astype(compute_dtype)
+        src_rows.append(
+            jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
+        )  # [K*N, H]
+        # 0/1 mask is exact in the compute dtype; keeping it narrow halves
+        # a lane-padded [bg, K*N, 1] VMEM buffer.
+        mask_rows.append(
+            jnp.dot(oh, ones_col, preferred_element_type=jnp.float32).astype(compute_dtype)
+        )
+    src_all = jnp.stack(src_rows)    # [bg, K*N, H]
+    mask_all = jnp.stack(mask_rows)  # [bg, K*N, 1]
 
-    # Messages per slot block (same edge type => same packed weight).
-    msgs, col_masks = [], []
+    # Messages per slot, batched over graphs: ONE matmul per slot. The
+    # slot mask is folded INTO the stored message (relu output >= 0, so
+    # masked sum / max / variance over mm_k := mask_k * relu(raw_k) are
+    # EXACTLY the reference's masked aggregates — see aggregation below)
+    # and the message is stored in the compute dtype: this removes the
+    # K lane-padded [bg*N, 1] mask buffers and halves the dominant VMEM
+    # live set vs keeping raw f32 messages + masks.
+    mm, deg = [], jnp.zeros((bg * n, 1), jnp.float32)
     for k in range(k_tot):
         pair = jnp.concatenate(
-            [src_states[k * n : (k + 1) * n], x_cd], axis=1
-        )  # [N, 2H]
+            [src_all[:, k * n : (k + 1) * n].reshape(bg * n, h), x_flat], axis=1
+        )  # [bg*N, 2H]
         raw = (
             jnp.dot(
                 pair,
@@ -153,30 +173,33 @@ def _mp_graph_fwd(x_g, onehot, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
             )
             + b_msg_ref[type_of_slot[k]][None, :]
         )
-        msgs.append(jnp.maximum(raw, 0.0))  # [N, F] f32
-        col_masks.append(slot_mask[k * n : (k + 1) * n])  # [N, 1]
-
-    # Masked aggregation over the K slots (static unroll).
-    neg_inf = jnp.float32(-jnp.inf)
-    s_acc = jnp.zeros((n, f), jnp.float32)
-    x_acc = jnp.full((n, f), neg_inf)
-    deg = jnp.zeros((n, 1), jnp.float32)
-    for k in range(k_tot):
-        mk = col_masks[k]  # [N, 1]
-        s_acc = s_acc + mk * msgs[k]
-        x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
+        mk = mask_all[:, k * n : (k + 1) * n].reshape(bg * n, 1)
+        mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
         deg = deg + mk
+
+    # Masked aggregation over the K slots (static unroll) on [bg*N, F]:
+    #   sum  = sum_k mm_k                       (mask already folded)
+    #   max  = max_k mm_k  (relu >= 0 makes the masked max exact: a
+    #          masked-out slot contributes 0, and when no slot is live
+    #          the reference also yields 0)
+    #   var  = sum_k relu(mm_k^2 - mean^2) + deg * eps  (a masked-out
+    #          slot gives relu(0 - mean^2) = 0, so no mask needed)
+    s_acc = jnp.zeros((bg * n, f), jnp.float32)
+    x_agg = jnp.zeros((bg * n, f), jnp.float32)
+    for k in range(k_tot):
+        mk32 = mm[k].astype(jnp.float32)
+        s_acc = s_acc + mk32
+        x_agg = jnp.maximum(x_agg, mk32)
     denom = jnp.maximum(deg, 1.0)
     mean = s_acc / denom
-    var = jnp.zeros((n, f), jnp.float32)
+    var = deg * SMALL_NUMBER
     for k in range(k_tot):
-        mk = col_masks[k]
-        var = var + mk * (jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER)
+        mk32 = mm[k].astype(jnp.float32)
+        var = var + jnp.maximum(mk32 * mk32 - mean * mean, 0.0)
     std = jnp.where(var > 0.0, jnp.sqrt(jnp.where(var > 0.0, var, 1.0)), 0.0)
-    x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
 
     sources = (s_acc, mean, std, x_agg)
-    out = jnp.zeros((n, h), jnp.float32)
+    out = jnp.zeros((bg * n, h), jnp.float32)
     for j in range(4):
         out = out + jnp.dot(
             sources[j].astype(compute_dtype),
@@ -188,7 +211,7 @@ def _mp_graph_fwd(x_g, onehot, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         amp = log_deg / PNA_DELTA
         att = PNA_DELTA / (log_deg + SMALL_NUMBER)
         for br, scale in ((1, amp), (2, att)):
-            part = jnp.zeros((n, h), jnp.float32)
+            part = jnp.zeros((bg * n, h), jnp.float32)
             for j in range(4):
                 part = part + jnp.dot(
                     sources[j].astype(compute_dtype),
@@ -196,7 +219,7 @@ def _mp_graph_fwd(x_g, onehot, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
                     preferred_element_type=jnp.float32,
                 )
             out = out + scale * part
-    return out + b_proj_ref[0][None, :]
+    return (out + b_proj_ref[0][None, :]).reshape(bg, n, h)
 
 
 def _mp_kernel(
@@ -213,12 +236,11 @@ def _mp_kernel(
     use_pna: bool,
     compute_dtype,
 ):
-    for g in range(bg):
-        out = _mp_graph_fwd(
-            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
-            k_per_type, use_pna, compute_dtype,
-        )
-        out_ref[g] = out.astype(out_ref.dtype)
+    out = _mp_block_fwd(
+        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+        k_per_type, use_pna, compute_dtype,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def slot_minor_onehot(in_src, in_mask, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -268,169 +290,181 @@ def _mp_bwd_kernel(
         dp_proj_ref[...] = jnp.zeros_like(dp_proj_ref)
         db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
 
-    for g in range(bg):
-        dx_g = _mp_graph_bwd(
-            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref,
-            g_ref[g].astype(jnp.float32),
-            dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
-            k_per_type, use_pna, compute_dtype,
-        )
-        dx_ref[g] = dx_g.astype(dx_ref.dtype)
+    dx = _mp_block_bwd(
+        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref,
+        g_ref[...].astype(jnp.float32),
+        dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
+        k_per_type, use_pna, compute_dtype,
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _mp_graph_bwd(x_g_raw, onehot_raw, w_msg_ref, b_msg_ref, p_proj_ref, grad,
+def _mp_block_bwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref, grad,
                   dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
                   k_per_type, use_pna, compute_dtype):
-    """One graph's MP backward on VMEM values: recomputes the forward
-    intermediates, accumulates weight grads into the passed refs, and
-    returns dx [N, H] f32."""
-    n, h = x_g_raw.shape[0], x_g_raw.shape[1]
+    """Whole-block MP backward on VMEM values: recomputes the forward
+    intermediates (batched like _mp_block_fwd), accumulates weight grads
+    into the passed refs, and returns dx [bg, N, H] f32. `grad` is the
+    upstream cotangent [bg, N, H] f32."""
+    bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
     f = w_msg_ref.shape[2]
     k_tot = sum(k_per_type)
     type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
     n_branch = 3 if use_pna else 1
-    neg_inf = jnp.float32(-jnp.inf)
 
-    x_g = x_g_raw.astype(compute_dtype)
-    onehot = onehot_raw.astype(compute_dtype)
+    x_cd = x_block.astype(compute_dtype)
+    x_flat = x_cd.reshape(bg * n, h)
+    grad_flat = grad.reshape(bg * n, h)
 
-    # ---- recompute forward intermediates ----
-    src_states = jnp.dot(onehot, x_g, preferred_element_type=jnp.float32).astype(
-        compute_dtype
-    )
+    # ---- recompute forward intermediates (batched, mask folded into the
+    # stored compute-dtype messages exactly as in _mp_block_fwd; pairs are
+    # re-sliced from src_all on demand instead of being stored, and the
+    # relu gate is recovered as mm_k > 0, which kills every contribution
+    # from masked-out or relu-dead slots) ----
     ones_col = jnp.ones((n, 1), compute_dtype)
-    slot_mask = jnp.dot(onehot, ones_col, preferred_element_type=jnp.float32)
+    src_rows, mask_rows = [], []
+    for g in range(bg):
+        oh = onehot_block[g].astype(compute_dtype)
+        src_rows.append(
+            jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
+        )
+        mask_rows.append(jnp.dot(oh, ones_col, preferred_element_type=jnp.float32))
+    src_all = jnp.stack(src_rows)
+    mask_all = jnp.stack(mask_rows)
 
-    pairs, raws, msgs, col_masks = [], [], [], []
+    def pair_of(k):
+        return jnp.concatenate(
+            [src_all[:, k * n : (k + 1) * n].reshape(bg * n, h), x_flat], axis=1
+        )
+
+    mm, deg = [], jnp.zeros((bg * n, 1), jnp.float32)
     for k in range(k_tot):
-        pair = jnp.concatenate([src_states[k * n : (k + 1) * n], x_g], axis=1)
         raw = (
             jnp.dot(
-                pair,
+                pair_of(k),
                 w_msg_ref[type_of_slot[k]].astype(compute_dtype),
                 preferred_element_type=jnp.float32,
             )
             + b_msg_ref[type_of_slot[k]][None, :]
         )
-        pairs.append(pair)
-        raws.append(raw)
-        msgs.append(jnp.maximum(raw, 0.0))
-        col_masks.append(slot_mask[k * n : (k + 1) * n])
-
-    s_acc = jnp.zeros((n, f), jnp.float32)
-    x_acc = jnp.full((n, f), neg_inf)
-    deg = jnp.zeros((n, 1), jnp.float32)
-    for k in range(k_tot):
-        mk = col_masks[k]
-        s_acc = s_acc + mk * msgs[k]
-        x_acc = jnp.maximum(x_acc, jnp.where(mk > 0, msgs[k], neg_inf))
+        mk = mask_all[:, k * n : (k + 1) * n].reshape(bg * n, 1)
+        mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
         deg = deg + mk
+
+    s_acc = jnp.zeros((bg * n, f), jnp.float32)
+    x_agg = jnp.zeros((bg * n, f), jnp.float32)
+    for k in range(k_tot):
+        mk32 = mm[k].astype(jnp.float32)
+        s_acc = s_acc + mk32
+        x_agg = jnp.maximum(x_agg, mk32)
     denom = jnp.maximum(deg, 1.0)
     mean = s_acc / denom
-    var = jnp.zeros((n, f), jnp.float32)
+    var = deg * SMALL_NUMBER
     for k in range(k_tot):
-        var = var + col_masks[k] * (
-            jnp.maximum(msgs[k] * msgs[k] - mean * mean, 0.0) + SMALL_NUMBER
-        )
+        mk32 = mm[k].astype(jnp.float32)
+        var = var + jnp.maximum(mk32 * mk32 - mean * mean, 0.0)
     var_pos = var > 0.0
     std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
-    x_agg = jnp.where(jnp.isfinite(x_acc), x_acc, 0.0)
     sources = (s_acc, mean, std, x_agg)
 
     # ---- projection backward ----
     if use_pna:
         log_deg = jnp.log(deg + 1.0)
         scales = (
-            jnp.ones((n, 1), jnp.float32),
+            jnp.ones((bg * n, 1), jnp.float32),
             log_deg / PNA_DELTA,
             PNA_DELTA / (log_deg + SMALL_NUMBER),
         )
     else:
-        scales = (jnp.ones((n, 1), jnp.float32),)
+        scales = (jnp.ones((bg * n, 1), jnp.float32),)
 
-    d_src = [jnp.zeros((n, f), jnp.float32) for _ in range(4)]
+    d_src = [jnp.zeros((bg * n, f), jnp.float32) for _ in range(4)]
     for br in range(n_branch):
-        sg = (scales[br] * grad).astype(compute_dtype)  # [N, H]
+        sg = (scales[br] * grad_flat).astype(compute_dtype)  # [bg*N, H]
         for j in range(4):
-            # dP = Src^T @ (scale*G): contract over nodes (dim 0/0).
             dp = jax.lax.dot_general(
                 sources[j].astype(compute_dtype), sg,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dp_proj_ref[br * 4 + j] += dp
-            # dSrc = (scale*G) @ P^T: contract over H (dim 1/2... P [F, H])
             d_src[j] = d_src[j] + jax.lax.dot_general(
                 sg, p_proj_ref[br * 4 + j].astype(compute_dtype),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    db_proj_ref[0, :] += jnp.sum(grad, axis=0)
+    db_proj_ref[0, :] += jnp.sum(grad_flat, axis=0)
 
     d_sum, d_mean_direct, d_std, d_max = d_src
 
     # ---- aggregation backward ----
+    # Every per-slot gradient is gated by the relu indicator mm_k > 0 at
+    # the end, which is 0 for masked-out AND relu-dead slots — so the
+    # explicit slot masks of the reference formulation drop out exactly
+    # (see _mp_block_fwd); tie shares among all-zero max slots differ
+    # only where the gate is 0.
     dvar = jnp.where(var_pos, d_std * 0.5 / jnp.where(var_pos, std, 1.0), 0.0)
-    # var -> mean and msgs
     d_mean = d_mean_direct
-    dm_from_var = []
+    tie_count = jnp.zeros((bg * n, f), jnp.float32)
     for k in range(k_tot):
-        ind = ((msgs[k] * msgs[k] - mean * mean) > 0.0).astype(jnp.float32)
-        w = col_masks[k] * dvar * ind
-        dm_from_var.append(w * 2.0 * msgs[k])
-        d_mean = d_mean - w * 2.0 * mean
-    # mean = s_acc/denom
+        mk32 = mm[k].astype(jnp.float32)
+        ind = ((mk32 * mk32 - mean * mean) > 0.0).astype(jnp.float32)
+        d_mean = d_mean - dvar * ind * 2.0 * mean
+        tie_count = tie_count + (mk32 == x_agg).astype(jnp.float32)
     d_s_from_mean = d_mean / denom
-    # max ties: even split like XLA's max grad
-    ties = []
-    tie_count = jnp.zeros((n, f), jnp.float32)
-    for k in range(k_tot):
-        t = ((col_masks[k] > 0) & (msgs[k] == x_agg)).astype(jnp.float32)
-        ties.append(t)
-        tie_count = tie_count + t
     tie_den = jnp.maximum(tie_count, 1.0)
 
-    dx_g = jnp.zeros((n, h), jnp.float32)
-    d_src_rows = []  # per-slot d(src_states)
+    dx_flat = jnp.zeros((bg * n, h), jnp.float32)
+    d_src_slots = []  # per-slot d(src_states) [bg*N, H] compute-dtype
     for k in range(k_tot):
-        mk = col_masks[k]
+        mk32 = mm[k].astype(jnp.float32)
+        ind = ((mk32 * mk32 - mean * mean) > 0.0).astype(jnp.float32)
         d_msg = (
-            mk * d_sum
-            + mk * d_s_from_mean
-            + dm_from_var[k]
-            + ties[k] / tie_den * d_max
+            d_sum
+            + d_s_from_mean
+            + dvar * ind * 2.0 * mk32
+            + (mk32 == x_agg).astype(jnp.float32) / tie_den * d_max
         )
-        d_raw = (jnp.where(raws[k] > 0.0, d_msg, 0.0)).astype(compute_dtype)
+        d_raw = jnp.where(mk32 > 0.0, d_msg, 0.0).astype(compute_dtype)
         t = type_of_slot[k]
-        # dW += pair^T @ d_raw (contract nodes)
         dw_msg_ref[t] += jax.lax.dot_general(
-            pairs[k], d_raw,
+            pair_of(k), d_raw,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         db_msg_ref[t] += jnp.sum(d_raw.astype(jnp.float32), axis=0)
-        # d_pair = d_raw @ W^T (contract F)
         d_pair = jax.lax.dot_general(
             d_raw, w_msg_ref[t].astype(compute_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [N, 2H]
-        d_src_rows.append(d_pair[:, :h])
-        dx_g = dx_g + d_pair[:, h:]
+        )  # [bg*N, 2H]
+        d_src_slots.append(d_pair[:, :h].astype(compute_dtype))
+        dx_flat = dx_flat + d_pair[:, h:]
 
-    # scatter src grads: dx += O^T @ d_src (contract slot rows)
-    d_src_all = jnp.concatenate(d_src_rows, axis=0).astype(compute_dtype)  # [K*N, H]
-    dx_g = dx_g + jax.lax.dot_general(
-        onehot, d_src_all,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return dx_g
+    # scatter src grads per graph: dx_g += O_g^T @ d_src_g (contract rows)
+    dx = dx_flat.reshape(bg, n, h)
+    dx_rows = []
+    for g in range(bg):
+        d_src_g = jnp.concatenate(
+            [d_src_slots[k][g * n : (g + 1) * n] for k in range(k_tot)], axis=0
+        ).astype(compute_dtype)  # [K*N, H]
+        dx_rows.append(
+            dx[g]
+            + jax.lax.dot_general(
+                onehot_block[g].astype(compute_dtype), d_src_g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.stack(dx_rows)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_per_type", "use_pna", "block_graphs", "interpret", "compute_dtype"),
+    static_argnames=(
+        "k_per_type", "use_pna", "block_graphs", "bwd_block_graphs", "interpret",
+        "compute_dtype",
+    ),
 )
 def fused_multiaggr_mp(
     x: jnp.ndarray,            # [G, N, H] node states
@@ -443,11 +477,16 @@ def fused_multiaggr_mp(
     k_per_type: Tuple[int, ...],
     use_pna: bool = True,
     block_graphs: int = 16,
+    bwd_block_graphs: int | None = None,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Fused MP + projection: returns the pre-residual update [G, N, H]
-    (what msg_out_projection(mp(x)) produces in modules/gnn.py)."""
+    (what msg_out_projection(mp(x)) produces in modules/gnn.py).
+
+    The backward recomputes in VMEM and holds ~2x the forward's live set,
+    so it runs on its own (smaller) graph block: bwd_block_graphs defaults
+    to block_graphs // 4 (min 1) and must divide block_graphs."""
     g, n, h = x.shape
     bg = min(block_graphs, g)
     pad = (-g) % bg
@@ -456,7 +495,15 @@ def fused_multiaggr_mp(
         onehot = jnp.concatenate(
             [onehot, jnp.zeros((pad,) + onehot.shape[1:], onehot.dtype)]
         )
-    op = _make_op(tuple(k_per_type), use_pna, bg, interpret, jnp.dtype(compute_dtype).name)
+    if bwd_block_graphs is None:
+        bg_bwd = max(1, bg // 4)
+    else:
+        bg_bwd = min(bwd_block_graphs, bg)
+    if bg % bg_bwd:
+        raise ValueError(f"bwd_block_graphs {bg_bwd} must divide block_graphs {bg}")
+    op = _make_op(
+        tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
+    )
     out = op(x, onehot, w_msg, b_msg, p_proj, b_proj.reshape(1, -1))
     return out[:g]
 
@@ -521,15 +568,17 @@ def _bwd_call(x, onehot, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
+def _make_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_name):
     """custom_vjp'd fused MP op for a fixed static configuration. The
     backward recomputes messages in VMEM (flash-style) and accumulates
-    weight grads across the sequential TPU grid."""
+    weight grads across the sequential TPU grid, on its own smaller
+    graph block (bg_bwd) since it holds ~2x the forward's live set."""
     compute_dtype = jnp.dtype(compute_dtype_name)
     static = dict(
         k_per_type=k_per_type, use_pna=use_pna, bg=bg,
         interpret=interpret, compute_dtype=compute_dtype,
     )
+    static_bwd = dict(static, bg=bg_bwd)
 
     @jax.custom_vjp
     def op(x, onehot, w_msg, b_msg, p_proj, b_proj2d):
@@ -542,7 +591,7 @@ def _make_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
     def bwd(res, grad):
         x, onehot, w_msg, b_msg, p_proj = res
         dx, dw_msg, db_msg, dp_proj, db_proj = _bwd_call(
-            x, onehot, w_msg, b_msg, p_proj, grad, **static
+            x, onehot, w_msg, b_msg, p_proj, grad, **static_bwd
         )
         return (
             dx.astype(x.dtype),
@@ -618,20 +667,14 @@ def _block_kernel(
 ):
     alpha = alpha_ref[0, 0]
     n, h = x_ref.shape[1], x_ref.shape[2]
-    # MP runs per graph (edge structure is per-graph), but BOOM is row-
-    # parallel: batch it over ALL bg*N rows so the [*, H] @ [H, I] matmuls
-    # fill the MXU instead of running bg tiny 40-row matmuls.
-    x1_rows = []
-    for g in range(bg):
-        m = _mp_graph_fwd(
-            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
-            k_per_type, use_pna, compute_dtype,
-        )
-        # Match the unfused path's numerics: the update passes through the
-        # compute dtype before joining the f32 residual stream.
-        m = m.astype(compute_dtype).astype(jnp.float32)
-        x1_rows.append(x_ref[g].astype(jnp.float32) + alpha * m)
-    x1 = jnp.concatenate(x1_rows, axis=0)  # [bg*N, H]
+    m = _mp_block_fwd(
+        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+        k_per_type, use_pna, compute_dtype,
+    )
+    # Match the unfused path's numerics: the update passes through the
+    # compute dtype before joining the f32 residual stream.
+    m = m.astype(compute_dtype).astype(jnp.float32)
+    x1 = (x_ref[...].astype(jnp.float32) + alpha * m).reshape(bg * n, h)
     out, *_ = _boom_graph_fwd(
         x1, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         alpha, compute_dtype,
@@ -671,14 +714,10 @@ def _block_bwd_kernel(
     # Recompute every graph's MP update, then run the BOOM fwd+bwd ONCE
     # over all bg*N rows (MXU-sized matmuls), then feed per-graph dm back
     # through the MP backward.
-    m_rows = []
-    for g in range(bg):
-        m = _mp_graph_fwd(
-            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
-            k_per_type, use_pna, compute_dtype,
-        )
-        m_rows.append(m.astype(compute_dtype).astype(jnp.float32))
-    m_all = jnp.concatenate(m_rows, axis=0)            # [bg*N, H]
+    m_all = _mp_block_fwd(
+        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+        k_per_type, use_pna, compute_dtype,
+    ).astype(compute_dtype).astype(jnp.float32).reshape(bg * n, h)
     x_all = x_ref[...].astype(jnp.float32).reshape(bg * n, h)
     gout = g_ref[...].astype(jnp.float32).reshape(bg * n, h)
     x1 = x_all + alpha * m_all
@@ -724,27 +763,30 @@ def _block_bwd_kernel(
     dalpha_ref[0, 0] = dalpha_ref[0, 0] + jnp.sum(gout * q) + jnp.sum(dx1 * m_all)
     dm = alpha * dx1
 
-    for g in range(bg):
-        dx_mp = _mp_graph_bwd(
-            x_ref[g], onehot_ref[g], w_msg_ref, b_msg_ref, p_proj_ref,
-            dm[g * n : (g + 1) * n], dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
-            k_per_type, use_pna, compute_dtype,
-        )
-        dx_ref[g] = (dx1[g * n : (g + 1) * n] + dx_mp).astype(dx_ref.dtype)
+    dx_mp = _mp_block_bwd(
+        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref,
+        dm.reshape(bg, n, h), dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
+        k_per_type, use_pna, compute_dtype,
+    )
+    dx_ref[...] = (dx1.reshape(bg, n, h) + dx_mp).astype(dx_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_per_type", "use_pna", "block_graphs", "interpret", "compute_dtype"),
+    static_argnames=(
+        "k_per_type", "use_pna", "block_graphs", "bwd_block_graphs", "interpret",
+        "compute_dtype",
+    ),
 )
 def fused_gnn_block(
     x, onehot, w_msg, b_msg, p_proj, b_proj, alpha,
     ln_scale, ln_bias, w1, b1, w2, b2,
-    *, k_per_type, use_pna=True, block_graphs=16, interpret=False,
-    compute_dtype=jnp.bfloat16,
+    *, k_per_type, use_pna=True, block_graphs=16, bwd_block_graphs=None,
+    interpret=False, compute_dtype=jnp.bfloat16,
 ):
     """One whole GNNBlock on the dense layout: returns the next residual
-    stream [G, N, H] f32 (x after MP residual AND BOOM residual)."""
+    stream [G, N, H] f32 (x after MP residual AND BOOM residual).
+    Like fused_multiaggr_mp, the backward runs on its own smaller block."""
     g, n, h = x.shape
     bg = min(block_graphs, g)
     pad = (-g) % bg
@@ -753,8 +795,14 @@ def fused_gnn_block(
         onehot = jnp.concatenate(
             [onehot, jnp.zeros((pad,) + onehot.shape[1:], onehot.dtype)]
         )
+    if bwd_block_graphs is None:
+        bg_bwd = max(1, bg // 4)
+    else:
+        bg_bwd = min(bwd_block_graphs, bg)
+    if bg % bg_bwd:
+        raise ValueError(f"bwd_block_graphs {bg_bwd} must divide block_graphs {bg}")
     op = _make_block_op(
-        tuple(k_per_type), use_pna, bg, interpret, jnp.dtype(compute_dtype).name
+        tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
     out = op(
         x, onehot, w_msg, b_msg, p_proj, b_proj.reshape(1, -1),
@@ -787,11 +835,12 @@ def _block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_block_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
+def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_name):
     compute_dtype = jnp.dtype(compute_dtype_name)
     static = dict(
         bg=bg, k_per_type=k_per_type, use_pna=use_pna, compute_dtype=compute_dtype
     )
+    static_bwd = dict(static, bg=bg_bwd)
 
     def fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
                  ln_scale, ln_bias, w1, b1, w2, b2):
@@ -815,11 +864,11 @@ def _make_block_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
         blocked = lambda idx: (idx, 0, 0)
         fixed = lambda idx: (0, 0)
         fixed3 = lambda idx: (0, 0, 0)
-        in_specs = _block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim) + [
-            pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),  # grad
+        in_specs = _block_specs(x, onehot, w_msg, b_msg, p_proj, bg_bwd, h, i_dim) + [
+            pl.BlockSpec((bg_bwd, n, h), blocked, memory_space=pltpu.VMEM),  # grad
         ]
         return pl.pallas_call(
-            functools.partial(_block_bwd_kernel, **static),
+            functools.partial(_block_bwd_kernel, **static_bwd),
             out_shape=(
                 jax.ShapeDtypeStruct((gp, n, h), jnp.float32),   # dx
                 jax.ShapeDtypeStruct(w_msg.shape, jnp.float32),
@@ -834,10 +883,10 @@ def _make_block_op(k_per_type, use_pna, bg, interpret, compute_dtype_name):
                 jax.ShapeDtypeStruct((i_dim, h), jnp.float32),   # dw2
                 jax.ShapeDtypeStruct((1, h), jnp.float32),       # db2
             ),
-            grid=(gp // bg,),
+            grid=(gp // bg_bwd,),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((bg_bwd, n, h), blocked, memory_space=pltpu.VMEM),
                 pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
                 pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
                 pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),

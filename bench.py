@@ -78,8 +78,13 @@ def main():
                 gnn_config=GNNConfig(
                     mp_impl=mp_impl,
                     remat_blocks=False,
-                    pallas_block_graphs=int(os.environ.get("BENCH_BLOCK_GRAPHS", "16")),
-                    pallas_fuse_boom=os.environ.get("BENCH_FUSE_BOOM", "1") == "1",
+                    pallas_block_graphs=int(os.environ.get("BENCH_BLOCK_GRAPHS", "8")),
+                    pallas_bwd_block_graphs=(
+                        int(os.environ["BENCH_BWD_BLOCK_GRAPHS"])
+                        if "BENCH_BWD_BLOCK_GRAPHS" in os.environ
+                        else None
+                    ),
+                    pallas_fuse_boom=os.environ.get("BENCH_FUSE_BOOM", "0") == "1",
                 )
             )
         )
@@ -143,6 +148,30 @@ def main():
         # Flat-chunk encoding: one mega-graph per chunk, GP head vmapped.
         batch_loss_fn=lambda p, e: adkf.batch_outer_loss(config, p, e),
     )
+
+    # Diagnostic: time the forward losses only (no grad/update) to split
+    # fwd vs bwd cost. Not a headline number.
+    if os.environ.get("BENCH_FWD_ONLY", "0") == "1":
+        step_fn_bwd = step_fn
+
+        def fwd_only(state, b):
+            return state, adkf.batch_outer_loss(config, state.params, b)
+
+        chunk = task_chunk or tasks_per_batch
+
+        def fwd_chunked(state, b):
+            losses = []
+            n = tasks_per_batch // chunk
+            chunked = jax.tree.map(
+                lambda x: x.reshape((n, chunk) + x.shape[1:]), b
+            )
+            def body(_, c):
+                return (), adkf.batch_outer_loss(config, state.params, c)
+            _, ls = jax.lax.scan(body, (), chunked)
+            return state, ls.reshape(-1)
+
+        step_fn = jax.jit(fwd_chunked)
+        del step_fn_bwd
 
     batch = jax.device_put(batch)
     # Warmup/compile. NOTE: jax.block_until_ready under-reports through

@@ -69,8 +69,11 @@ def evaluate(predict, params, test_tasks, spec, num_samples=8):
     return np.asarray(deltas)
 
 
-def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps, tasks_per_batch, lr):
-    """Meta-train one arm; returns final params."""
+def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps,
+              tasks_per_batch, lr, validate=None, eval_every=200):
+    """Meta-train one arm; returns best-on-validation params (reference
+    protocol: validate_by_finetuning_on_tasks + best checkpoint,
+    adaptive_dkt_utils.py:429-455)."""
     episode_loss, batch_loss = loss_fns
     optimizer = make_optimizer(lr, clip_value=1.0)
     state = init_train_state(jax.tree.map(jax.numpy.asarray, fresh_params), optimizer)
@@ -78,18 +81,31 @@ def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps, tasks_p
         episode_loss, optimizer, task_chunk=1, remat=False, batch_loss_fn=batch_loss
     )
     t0 = time.perf_counter()
+    best_val, best_params = -np.inf, jax.tree.map(np.asarray, state.params)
     for step in range(1, steps + 1):
         state, losses = step_fn(state, jax.device_put(episodes_for(step)))
-        if step % 100 == 0:
+        if step % eval_every == 0 or step == steps:
             loss = float(np.mean(np.asarray(losses)))
-            print(f"  [{kind}] step {step}: loss {loss:.3f} ({time.perf_counter()-t0:.0f}s)", flush=True)
-    return jax.tree.map(np.asarray, state.params)
+            msg = f"  [{kind}] step {step}: loss {loss:.3f}"
+            if validate is not None:
+                params_np = jax.tree.map(np.asarray, state.params)
+                val = float(np.mean(validate(params_np)))
+                msg += f" val dAUPRC {val:+.4f}"
+                if val > best_val:
+                    best_val, best_params = val, params_np
+                    msg += " *best*"
+            print(msg + f" ({time.perf_counter()-t0:.0f}s)", flush=True)
+    if validate is None:
+        best_params = jax.tree.map(np.asarray, state.params)
+    return best_params
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--train-tasks", type=int, default=24)
+    ap.add_argument("--val-tasks", type=int, default=6)
+    ap.add_argument("--eval-every", type=int, default=200)
     ap.add_argument("--test-tasks", type=int, default=10)
     ap.add_argument("--tasks-per-batch", type=int, default=8)
     ap.add_argument("--support", type=int, default=32)
@@ -103,6 +119,10 @@ def main():
     train_tasks = [
         make_teacher_task(f"TR{i}", num_samples=args.samples_per_task, seed=100 + i)
         for i in range(args.train_tasks)
+    ]
+    val_tasks = [
+        make_teacher_task(f"VA{i}", num_samples=args.samples_per_task, seed=5500 + i)
+        for i in range(args.val_tasks)
     ]
     test_tasks = [
         make_teacher_task(f"TE{i}", num_samples=args.samples_per_task, seed=9000 + i)
@@ -207,12 +227,14 @@ def main():
         arm = arms[name]
         print(f"=== arm {name} ===", flush=True)
         params = arm["params"]
+        predict = make_predict_fn(arm["kind"], arm["cfg"])
         if arm["train"]:
             params = train_arm(
                 name, arm["cfg"], arm["loss_fns"], params, episodes_for,
                 args.steps, args.tasks_per_batch, args.lr,
+                validate=lambda p: evaluate(predict, p, val_tasks, spec, num_samples=4),
+                eval_every=args.eval_every,
             )
-        predict = make_predict_fn(arm["kind"], arm["cfg"])
         deltas = evaluate(predict, params, test_tasks, spec)
         results[name] = dict(
             mean=float(deltas.mean()),
@@ -235,6 +257,7 @@ def main():
         "ADKF/DKT ablation rows (SURVEY.md §6).\n",
         f"Config: {args.steps} steps × {args.tasks_per_batch} tasks/batch, "
         f"support {args.support}, query {args.query}, {args.train_tasks} train / "
+        f"{args.val_tasks} val (best-checkpoint selection, lr {args.lr:g}) / "
         f"{args.test_tasks} test tasks × 8 episodes. Generated by `benchmarks/meta_gain.py` "
         "on the tunnel-attached TPU v5e.\n",
         "| Arm | mean ΔAUPRC | SEM | episodes |",
