@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--tasks", type=int, default=8)
+    # Default excludes the fingerprint channel: synthetic fps are unique
+    # per-molecule noise, i.e. a molecule-ID memorization shortcut — with
+    # them the probe reaches train MSE ~2e-4 and NEGATIVE held-out R2.
+    ap.add_argument("--features", type=str, default="gnn+fc")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,7 +77,11 @@ def main():
             targets = np.stack([embed(m) for m in chunk]).astype(np.float32)
             yield packed, targets
 
-    cfg = adkf.ADKFModelConfig()
+    from adkf_ift_tpu.modules.encoder import CombinedFeatureConfig
+
+    cfg = adkf.ADKFModelConfig(
+        features=CombinedFeatureConfig(used_features=args.features)
+    )
     encoder = adkf.make_encoder(cfg)
     probe_packed, _ = next(batches(train_mols, shuffle_seed=0))
     enc_params = encoder.init(jax.random.PRNGKey(0), probe_packed)
