@@ -18,7 +18,7 @@ import logging
 import os
 import subprocess
 import threading
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -272,14 +272,13 @@ class NativeTaskQueue:
             pass
 
 
-def stratified_episode_native(
+def stratified_indices_native(
     task: NativeTask,
     spec: EpisodeSpec,
     seed: int = 0,
     test_size_or_ratio=None,
-    regression: bool = False,
-) -> Episode:
-    """Native-packed stratified episode with the EXACT seed contract of
+) -> Tuple[List[int], List[int]]:
+    """(support, query) molecule indices with the EXACT seed contract of
     StratifiedTaskSampler (samplers.py:185-256): samples ordered
     negatives-then-positives, sklearn StratifiedShuffleSplit with
     random_state=seed — byte-identical episodes to the Python path."""
@@ -321,8 +320,50 @@ def stratified_episode_native(
         raise FoldTooSmallException(f"{task.name}: train fold single-class")
     if not (0 < (q_labels > 0).sum() < len(q_labels)):
         raise FoldTooSmallException(f"{task.name}: test fold single-class")
+    return support_idx, query_idx
 
+
+def stratified_episode_native(
+    task: NativeTask,
+    spec: EpisodeSpec,
+    seed: int = 0,
+    test_size_or_ratio=None,
+    regression: bool = False,
+) -> Episode:
+    """Native-packed stratified episode (see stratified_indices_native)."""
+    support_idx, query_idx = stratified_indices_native(task, spec, seed, test_size_or_ratio)
     return build_episode_native(task, support_idx, query_idx, spec, regression=regression)
+
+
+def whole_task_pad_spec(task: NativeTask) -> GraphPadSpec:
+    """Exact-fit pad spec covering ALL molecules of a task (one native
+    pack per task feeds fastpack.DenseTaskPack.from_packed_all)."""
+    lib, h = task._lib, ctypes.c_void_p(task._handle)
+    m = task.num_molecules
+    total_nodes = sum(lib.fsmol_num_nodes(h, i) for i in range(m))
+    budgets = tuple(
+        2 * sum(lib.fsmol_num_edges(h, i, t) for i in range(m))
+        for t in range(NUM_EDGE_TYPES)
+    )
+    return GraphPadSpec(num_graphs=m, node_budget=total_nodes + 1, edge_budgets=budgets)
+
+
+def dense_task_pack_native(task: NativeTask, nodes_per_graph: int, k_per_type):
+    """Per-molecule dense blocks for a native task: ONE C++ pack over all
+    molecules + one vectorized flat->dense re-layout (fastpack), reused
+    by every episode sampled from the task."""
+    from adkf_ift_tpu.data.fastpack import DenseTaskPack
+
+    packed_all, bool_labels, numeric_labels = task.pack(
+        list(range(task.num_molecules)), whole_task_pad_spec(task)
+    )
+    return DenseTaskPack.from_packed_all(
+        packed_all,
+        bool_labels,
+        numeric_labels,
+        nodes_per_graph=nodes_per_graph,
+        k_per_type=tuple(k_per_type),
+    )
 
 
 def is_valid_numeric_task_native(task: NativeTask) -> bool:

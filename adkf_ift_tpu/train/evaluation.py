@@ -98,10 +98,20 @@ def eval_model(
         os.makedirs(out_dir, exist_ok=True)
     spec_fn = episode_spec_fn or (lambda s: EpisodeSpec(support_size=s, query_size=query_budget))
 
+    # One cached pack per task (flat TaskPack, or DenseTaskPack when the
+    # transform is the dense re-layout): eval samples sizes×seeds×chunks
+    # episodes per task, so the vectorized fastpack assembly amortizes
+    # the per-molecule Python packing to once per task.
+    from adkf_ift_tpu.data import fastpack
+
+    dense_kw = fastpack.dense_transform_kwargs(episode_transform)
+    use_fastpack = episode_transform is None or dense_kw is not None
+
     task_to_results: Dict[str, List] = {}
     for task in dataset.get_task_reading_iterable(fold, num_workers=num_workers):
         if filter_numeric_labels and not is_valid_numeric_task(task):
             continue
+        pack = fastpack.task_pack_for(task, dense_kw) if use_fastpack else None
         results = []
         for train_size in support_sizes:
             sampler = StratifiedTaskSampler(
@@ -126,6 +136,7 @@ def eval_model(
                     evaluate_episode, task_sample, spec_fn(train_size), local_seed,
                     filter_numeric_labels, query_budget,
                     episode_transform=episode_transform,
+                    pack=pack, dense=dense_kw is not None,
                 )
                 if filter_numeric_labels:
                     metrics = compute_numeric_task_metrics(preds, labels)
@@ -169,11 +180,18 @@ def _evaluate_sample_chunked(
     regression: bool,
     query_budget: int,
     episode_transform: Optional[Callable] = None,
+    pack=None,
+    dense: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Chunk the query set to the spec's static budget (the reference's
     multi-batch eval, run_on_batches) and concatenate predictions.
     `episode_transform` re-lays each padded episode (e.g. dense-block
-    layout for the Pallas MP path, ops/dense_block.episode_to_dense)."""
+    layout for the Pallas MP path, ops/dense_block.episode_to_dense);
+    `pack` is an optional cached fastpack Task/DenseTaskPack for the
+    task that assembles byte-identical episodes without the per-episode
+    Python packing loop."""
+    from adkf_ift_tpu.data import fastpack
+
     all_preds, all_labels = [], []
     test = task_sample.test_samples
     for start in range(0, len(test), spec.query_size):
@@ -183,9 +201,13 @@ def _evaluate_sample_chunked(
             valid_samples=[],
             test_samples=test[start : start + spec.query_size],
         )
-        episode = build_episode(chunk, spec, regression=regression)
-        if episode_transform is not None:
-            episode = episode_transform(episode)
+        if pack is not None:
+            assemble = fastpack.assemble_dense_episode if dense else fastpack.assemble_episode
+            episode = assemble(pack, chunk, spec, regression=regression)
+        else:
+            episode = build_episode(chunk, spec, regression=regression)
+            if episode_transform is not None:
+                episode = episode_transform(episode)
         n_real = len(chunk.test_samples)
         preds, labels = evaluate_episode(episode, seed)
         all_preds.append(np.asarray(preds)[:n_real])

@@ -23,8 +23,15 @@ from typing import Callable, Iterator, Optional
 
 import numpy as np
 
+from adkf_ift_tpu.data import fastpack
 from adkf_ift_tpu.data.dataset import DataFold, FSMolDataset
-from adkf_ift_tpu.data.episodes import Episode, EpisodeSpec, build_episode, stack_episodes
+from adkf_ift_tpu.data.episodes import (
+    Episode,
+    EpisodeOverflowError,
+    EpisodeSpec,
+    build_episode,
+    stack_episodes,
+)
 from adkf_ift_tpu.data.samplers import SamplingException, StratifiedTaskSampler
 from adkf_ift_tpu.data.task import Task
 from adkf_ift_tpu.train.evaluation import is_valid_numeric_task
@@ -87,11 +94,41 @@ def episode_stream(
 
     transform = episode_transform or (lambda ep: ep)
 
+    # Dense-layout fast path: when the transform is the dense re-layout
+    # (ops/dense_block.episode_to_dense), skip the per-episode Python
+    # packer + per-episode re-layout entirely — build ONE per-task dense
+    # pack (fastpack.DenseTaskPack) and assemble episodes by fancy-index.
+    # Byte-identical episodes (tests/test_fastpack.py); ~10x less host
+    # work per episode, which is what bounds real training throughput on
+    # this deployment (CLAUDE.md: host side, not the device, is the
+    # bottleneck once transfers are compressed).
+    dense_kw = fastpack.dense_transform_kwargs(episode_transform)
+
     def native_task_episodes(task, idx):
         if regression and not native_loader.is_valid_numeric_task_native(task):
             return
+        dpack = None
         for k in range(samples_per_task):
             try:
+                if dense_kw is not None:
+                    s_idx, q_idx = native_loader.stratified_indices_native(
+                        task, spec, seed=idx + k
+                    )
+                    if dpack is None:
+                        try:
+                            dpack = native_loader.dense_task_pack_native(
+                                task, dense_kw[0], dense_kw[1]
+                            )
+                        except EpisodeOverflowError:
+                            # A molecule exceeds the dense budgets: fall
+                            # back to per-episode packing so episodes not
+                            # containing it still stream (slow-path parity).
+                            dpack = False
+                    if dpack:
+                        yield fastpack.assemble_dense_by_idx(
+                            dpack, s_idx, q_idx, spec, regression=regression
+                        )
+                        continue
                 yield transform(
                     native_loader.stratified_episode_native(
                         task, spec, seed=idx + k, regression=regression
@@ -107,6 +144,7 @@ def episode_stream(
         task = Task.load_from_file(path)
         if regression and not is_valid_numeric_task(task):
             return
+        dpack = None
         for k in range(samples_per_task):
             try:
                 sample = sampler.sample(task, seed=idx + k)
@@ -114,6 +152,16 @@ def episode_stream(
                 logger.debug("%s: sampling failed (%s)", task.name, e)
                 continue
             try:
+                if dense_kw is not None:
+                    if dpack is None:
+                        dpack = fastpack.task_pack_for(task, dense_kw)
+                        if dpack is None:
+                            dpack = False  # oversized molecule: slow path
+                    if dpack:
+                        yield fastpack.assemble_dense_episode(
+                            dpack, sample, spec, regression=regression
+                        )
+                        continue
                 yield transform(build_episode(sample, spec, regression=regression))
             except Exception as e:  # noqa: BLE001 — budget overflows etc.
                 logger.debug("%s: packing failed (%s)", task.name, e)

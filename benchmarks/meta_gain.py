@@ -52,21 +52,35 @@ from adkf_ift_tpu.utils.synthetic import make_teacher_task
 
 
 def evaluate(predict, params, test_tasks, spec, num_samples=8):
-    """Per-episode ΔAUPRC list over held-out tasks."""
+    """Keyed per-episode ΔAUPRC over held-out tasks.
+
+    Returns {(task_name, run): delta}. Episodes are seeded identically
+    for every arm, so arms can be compared PAIRED per episode (the
+    episode-difficulty variance cancels — same protocol as the
+    reference's per-task paired comparisons in its plotting utils).
+    Non-finite predictions (a diverged checkpoint) score as chance
+    (0.5) instead of crashing the experiment.
+    """
     sampler = StratifiedTaskSampler(spec.support_size, test_size_or_ratio=spec.query_size)
-    deltas = []
+    deltas = {}
     for task in test_tasks:
         for run in range(num_samples):
             try:
                 ep = build_episode(sampler.sample(task, seed=5000 + run), spec)
             except Exception:
                 continue
-            probs = predict(params, ep)
+            probs = np.asarray(predict(params, ep), np.float64)
+            if not np.isfinite(probs).all():
+                probs = np.nan_to_num(probs, nan=0.5, posinf=1.0, neginf=0.0)
             qmask = np.asarray(ep.query.graph_mask) > 0
             y = (np.asarray(ep.query_labels)[qmask] > 0).astype(np.float64)
             m = compute_binary_task_metrics(probs[qmask], y)
-            deltas.append(m.avg_precision - y.mean())
-    return np.asarray(deltas)
+            deltas[(task.name, run)] = m.avg_precision - y.mean()
+    return deltas
+
+
+def _vals(deltas):
+    return np.asarray(list(deltas.values()))
 
 
 def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps,
@@ -89,7 +103,7 @@ def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps,
             msg = f"  [{kind}] step {step}: loss {loss:.3f}"
             if validate is not None:
                 params_np = jax.tree.map(np.asarray, state.params)
-                val = float(np.mean(validate(params_np)))
+                val = float(np.mean(_vals(validate(params_np))))
                 msg += f" val dAUPRC {val:+.4f}"
                 if val > best_val:
                     best_val, best_params = val, params_np
@@ -112,6 +126,10 @@ def main():
     ap.add_argument("--query", type=int, default=64)
     ap.add_argument("--samples-per-task", type=int, default=160)
     ap.add_argument("--lr", type=float, default=1e-3)
+    # DKT's joint-MLL objective diverged at 1e-3 in round 2 (NaN probs at
+    # step ~200); the reference trains DKT with Adam 1e-4 on real data.
+    ap.add_argument("--lr-dkt", type=float, default=3e-4)
+    ap.add_argument("--eval-episodes", type=int, default=8)
     # gnn+fc by default: the synthetic fingerprints are per-molecule NOISE
     # and tasks share no molecules, so an encoder with fp access memorizes
     # molecule->label through the fp channel (train NLL -> -inf, zero
@@ -206,7 +224,7 @@ def main():
         from sklearn.linear_model import LogisticRegression
         from adkf_ift_tpu.utils.synthetic import _teacher_embed
 
-        deltas = []
+        deltas = {}
         for task in test_tasks:
             H = {
                 id(m): _teacher_embed(m.graph.node_features, m.graph.adjacency_lists)
@@ -224,16 +242,17 @@ def main():
                 lr_probe = LogisticRegression(max_iter=2000).fit(Xs, ys)
                 from sklearn.metrics import average_precision_score
 
-                deltas.append(
+                deltas[(task.name, run)] = (
                     average_precision_score(yq, lr_probe.predict_proba(Xq)[:, 1])
                     - yq.mean()
                 )
-        d = np.asarray(deltas)
+        d = np.asarray(list(deltas.values()))
         results["oracle"] = dict(
             mean=float(d.mean()), sem=float(d.std() / np.sqrt(len(d))), n=len(d)
         )
         print(f"  oracle: ΔAUPRC {results['oracle']['mean']:.4f} ± {results['oracle']['sem']:.4f}", flush=True)
 
+    per_episode = {}
     for name in args.arms.split(","):
         if name == "oracle":
             continue
@@ -242,19 +261,46 @@ def main():
         params = arm["params"]
         predict = make_predict_fn(arm["kind"], arm["cfg"])
         if arm["train"]:
+            lr = args.lr_dkt if name == "dkt" else args.lr
             params = train_arm(
                 name, arm["cfg"], arm["loss_fns"], params, episodes_for,
-                args.steps, args.tasks_per_batch, args.lr,
+                args.steps, args.tasks_per_batch, lr,
                 validate=lambda p: evaluate(predict, p, val_tasks, spec, num_samples=4),
                 eval_every=args.eval_every,
             )
-        deltas = evaluate(predict, params, test_tasks, spec)
+        keyed = evaluate(predict, params, test_tasks, spec, num_samples=args.eval_episodes)
+        per_episode[name] = keyed
+        deltas = _vals(keyed)
         results[name] = dict(
             mean=float(deltas.mean()),
             sem=float(deltas.std() / np.sqrt(len(deltas))),
             n=len(deltas),
         )
         print(f"  {name}: ΔAUPRC {results[name]['mean']:.4f} ± {results[name]['sem']:.4f}", flush=True)
+
+    # Paired per-episode gaps vs the fresh-init control: arms see the
+    # IDENTICAL episodes (same sampler seeds), so the difference per
+    # episode removes episode-difficulty variance from the comparison.
+    paired = {}
+    if "fresh" in per_episode:
+        base = per_episode["fresh"]
+        for name, keyed in per_episode.items():
+            if name == "fresh":
+                continue
+            common = sorted(set(keyed) & set(base))
+            d = np.asarray([keyed[k] - base[k] for k in common])
+            if len(d):
+                paired[name] = dict(
+                    gap=float(d.mean()),
+                    sem=float(d.std(ddof=1) / np.sqrt(len(d))),
+                    n=len(d),
+                )
+                g = paired[name]
+                print(
+                    f"  paired {name} - fresh: {g['gap']:+.4f} ± {g['sem']:.4f} "
+                    f"({g['gap']/max(g['sem'],1e-12):.1f} SEM, n={g['n']})",
+                    flush=True,
+                )
 
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "docs", "METAGAIN.md"
@@ -279,16 +325,21 @@ def main():
     ]
     for name, r in results.items():
         lines.append(f"| {name} | {r['mean']:.4f} | {r['sem']:.4f} | {r['n']} |")
-    if "adkf_ift" in results and "fresh" in results:
-        gap = results["adkf_ift"]["mean"] - results["fresh"]["mean"]
-        sem = np.hypot(results["adkf_ift"]["sem"], results["fresh"]["sem"])
-        lines.append(
-            f"\nMeta-trained − fresh gap: **{gap:+.4f}** = {gap / max(sem, 1e-9):.1f}×"
-            " the combined SEM."
-        )
+    if paired:
+        lines += [
+            "\nPaired per-episode gap vs fresh-init (identical episode seeds",
+            "across arms; SEM of the per-episode differences):\n",
+            "| Arm | paired gap | SEM | ×SEM | n |",
+            "|---|---|---|---|---|",
+        ]
+        for name, g in paired.items():
+            lines.append(
+                f"| {name} − fresh | {g['gap']:+.4f} | {g['sem']:.4f} "
+                f"| {g['gap']/max(g['sem'],1e-12):.1f} | {g['n']} |"
+            )
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps(results))
+    print(json.dumps({"pooled": results, "paired": paired}))
     print(f"wrote {out}")
 
 
