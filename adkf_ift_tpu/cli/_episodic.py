@@ -73,6 +73,17 @@ def add_layout_args(parser: argparse.ArgumentParser) -> None:
         "blocks (required by --mp-impl pallas; defaults to dense "
         "automatically when the model config uses the Pallas kernel).",
     )
+    parser.add_argument(
+        "--nodes-per-graph", type=int, default=48,
+        help="Flat-packing node budget per molecule (bytes on the wire "
+        "are proportional; tune to the dataset's molecule sizes).",
+    )
+    parser.add_argument(
+        "--edges-per-graph",
+        type=lambda v: tuple(int(x) for x in v.split(",")),
+        default=(80, 32, 16),
+        help="Flat-packing bidirectional edge budgets per bond type.",
+    )
     parser.add_argument("--dense-nodes-per-graph", type=int, default=48)
     parser.add_argument(
         "--dense-k-per-type",
@@ -129,6 +140,7 @@ def make_validation_fn(
             filter_numeric_labels=regression,
             query_budget=query_budget,
             episode_transform=episode_transform,
+            wire_budget=192,  # predict fns decompress on device
         )
         scores = []
         for task_results in results.values():
@@ -168,9 +180,14 @@ def run_episodic_training(
         num_reader_workers=args.num_reader_workers,
         checkpoint_backend=getattr(args, "checkpoint_backend", "flax"),
         episode_transform=transform,
+        nodes_per_graph=getattr(args, "nodes_per_graph", 48) or 48,
+        edges_per_graph=tuple(getattr(args, "edges_per_graph", (80, 32, 16))),
     )
     spec = EpisodeSpec(
-        support_size=loop_cfg.support_set_size, query_size=loop_cfg.query_set_size
+        support_size=loop_cfg.support_set_size,
+        query_size=loop_cfg.query_set_size,
+        nodes_per_graph=loop_cfg.nodes_per_graph,
+        edges_per_graph=loop_cfg.edges_per_graph,
     )
     # Init params from the first train episode's shapes.
     probe = next(
@@ -293,6 +310,7 @@ def run_episodic_test(
         filter_numeric_labels=regression,
         query_budget=args.query_budget,
         episode_transform=episode_transform_for(config, args),
+        wire_budget=192,  # predict fns decompress on device
     )
     _log_aggregate(results, regression)
     return results

@@ -264,19 +264,75 @@ def assemble_episode(
 
 @dataclass
 class DenseTaskPack:
-    """Per-molecule dense blocks [M, ...] (ops/dense_block layout)."""
+    """Per-molecule dense blocks [M, ...] (ops/dense_block layout).
 
-    node_features: np.ndarray  # [M, N, F]
+    `wire=True` stores every leaf in its lossless WIRE dtype (the exact
+    narrowing utils/wire.WireCodec would apply per batch: one-hot-ish
+    node features/masks as uint8, local node ids as int8/int16, and
+    fingerprints pre-sparsified to SparseCounts index/value pairs), so
+    assembled episodes pass through the codec with NO per-batch scans or
+    argsorts and the jitted step's decompress_batch restores float32 on
+    device. On the ~1 GB/s single-core host this cuts the per-batch
+    assemble+stack+compress cost ~5x (the dominant real-training cost)."""
+
+    node_features: np.ndarray  # [M, N, F] f32 (wire: uint8 when lossless)
     node_mask: np.ndarray  # [M, N]
-    in_src: Tuple[np.ndarray, ...]  # [M, N, K_t] i32
-    in_mask: Tuple[np.ndarray, ...]  # [M, N, K_t] f32
-    fingerprints: np.ndarray  # [M, FP] f32
+    in_src: Tuple[np.ndarray, ...]  # [M, N, K_t] i32 (wire: i8/i16)
+    in_mask: Tuple[np.ndarray, ...]  # [M, N, K_t] f32 (wire: uint8)
+    fingerprints: np.ndarray  # [M, FP] f32 (wire: uint8/16 when lossless)
     descriptors: np.ndarray  # [M, DESC] f32
     bool_labels: np.ndarray  # [M] f32 (±1)
     numeric_labels: np.ndarray  # [M] f64
     nodes_per_graph: int
     k_per_type: Tuple[int, ...]
     pack: Optional[TaskPack] = None  # for object->index resolution
+    wire: bool = False
+    fp_idx: Optional[np.ndarray] = None  # [M, B] int16 (sparse wire fps)
+    fp_vals: Optional[np.ndarray] = None  # [M, B] uint8/uint16
+    fp_dense_size: int = 0
+
+    def wireized(self, sparse_fp_budget: int = 0) -> "DenseTaskPack":
+        """Copy with every leaf in its wire dtype (see class docstring)."""
+        from adkf_ift_tpu.utils.wire import _sparsify_counts
+
+        def _counts_dtype(x):
+            if x.size == 0:
+                return x.astype(np.uint8)
+            mn, mx = x.min(), x.max()
+            if mn >= 0.0 and mx <= 65535.0 and np.all(x == np.rint(x)):
+                return x.astype(np.uint8 if mx <= 255.0 else np.uint16)
+            return x
+
+        fp_idx = fp_vals = None
+        fp = self.fingerprints
+        fp_dense_size = fp.shape[-1]
+        if sparse_fp_budget > 0 and fp.size:
+            mn = fp.min()
+            if mn >= 0.0 and np.all(fp == np.rint(fp)):
+                sp = _sparsify_counts(fp, sparse_fp_budget)
+                if sp is not None:
+                    fp_idx, fp_vals = sp.indices, sp.values
+                    fp = np.zeros((fp.shape[0], 0), np.uint8)  # freed: sparse is canonical
+        if fp_idx is None:
+            fp = _counts_dtype(fp)
+        idx_t = np.int8 if self.nodes_per_graph <= 127 else np.int16
+        return DenseTaskPack(
+            node_features=_counts_dtype(self.node_features),
+            node_mask=self.node_mask.astype(np.uint8),
+            in_src=tuple(a.astype(idx_t) for a in self.in_src),
+            in_mask=tuple(a.astype(np.uint8) for a in self.in_mask),
+            fingerprints=fp,
+            descriptors=self.descriptors,
+            bool_labels=self.bool_labels,
+            numeric_labels=self.numeric_labels,
+            nodes_per_graph=self.nodes_per_graph,
+            k_per_type=self.k_per_type,
+            pack=self.pack,
+            wire=True,
+            fp_idx=fp_idx,
+            fp_vals=fp_vals,
+            fp_dense_size=fp_dense_size if fp_idx is not None else 0,
+        )
 
     @staticmethod
     def from_task_pack(
@@ -380,14 +436,22 @@ def _dense_select(dpack: DenseTaskPack, sel: np.ndarray, num_graphs: int):
         out[:k] = arr[sel]
         return out
 
-    graph_mask = np.zeros((g,), np.float32)
-    graph_mask[:k] = 1.0
+    if dpack.fp_idx is not None:
+        from adkf_ift_tpu.utils.wire import SparseCounts
+
+        fingerprints = SparseCounts(
+            pad0(dpack.fp_idx), pad0(dpack.fp_vals), dpack.fp_dense_size
+        )
+    else:
+        fingerprints = pad0(dpack.fingerprints)
+    graph_mask = np.zeros((g,), np.uint8 if dpack.wire else np.float32)
+    graph_mask[:k] = 1
     return DenseBlocks(
         node_features=pad0(dpack.node_features),
         node_mask=pad0(dpack.node_mask),
         in_src=tuple(pad0(a) for a in dpack.in_src),
         in_mask=tuple(pad0(a) for a in dpack.in_mask),
-        fingerprints=pad0(dpack.fingerprints),
+        fingerprints=fingerprints,
         descriptors=pad0(dpack.descriptors),
         graph_mask=graph_mask,
     )
@@ -453,19 +517,24 @@ def dense_transform_kwargs(transform) -> Optional[Tuple[int, Tuple[int, ...]]]:
     return int(kw.get("nodes_per_graph", 48)), tuple(kw.get("k_per_type", (8, 6, 6)))
 
 
-def task_pack_for(task: Task, dense_kw) -> Optional[object]:
+def task_pack_for(task: Task, dense_kw, wire_budget: Optional[int] = None) -> Optional[object]:
     """TaskPack (flat) or DenseTaskPack per `dense_kw`; None when the
     dense budgets can't hold a molecule (callers fall back to the
-    per-episode slow path, which can still skip just that molecule)."""
+    per-episode slow path, which can still skip just that molecule).
+    `wire_budget` (dense only) stores the pack in wire dtypes — see
+    DenseTaskPack.wireized."""
     pack = TaskPack.from_task(task)
     if dense_kw is None:
         return pack
     try:
-        return DenseTaskPack.from_task_pack(
+        dpack = DenseTaskPack.from_task_pack(
             pack, nodes_per_graph=dense_kw[0], k_per_type=dense_kw[1]
         )
     except EpisodeOverflowError:
         return None
+    if wire_budget is not None:
+        dpack = dpack.wireized(wire_budget)
+    return dpack
 
 
 class EpisodeAssembler:

@@ -348,22 +348,28 @@ def whole_task_pad_spec(task: NativeTask) -> GraphPadSpec:
     return GraphPadSpec(num_graphs=m, node_budget=total_nodes + 1, edge_budgets=budgets)
 
 
-def dense_task_pack_native(task: NativeTask, nodes_per_graph: int, k_per_type):
+def dense_task_pack_native(
+    task: NativeTask, nodes_per_graph: int, k_per_type, wire_budget: Optional[int] = None
+):
     """Per-molecule dense blocks for a native task: ONE C++ pack over all
     molecules + one vectorized flat->dense re-layout (fastpack), reused
-    by every episode sampled from the task."""
+    by every episode sampled from the task. `wire_budget` stores the pack
+    in wire dtypes (fastpack.DenseTaskPack.wireized)."""
     from adkf_ift_tpu.data.fastpack import DenseTaskPack
 
     packed_all, bool_labels, numeric_labels = task.pack(
         list(range(task.num_molecules)), whole_task_pad_spec(task)
     )
-    return DenseTaskPack.from_packed_all(
+    dpack = DenseTaskPack.from_packed_all(
         packed_all,
         bool_labels,
         numeric_labels,
         nodes_per_graph=nodes_per_graph,
         k_per_type=tuple(k_per_type),
     )
+    if wire_budget is not None:
+        dpack = dpack.wireized(wire_budget)
+    return dpack
 
 
 def is_valid_numeric_task_native(task: NativeTask) -> bool:

@@ -92,8 +92,14 @@ def eval_model(
     episode_spec_fn: Optional[Callable[[int], EpisodeSpec]] = None,
     num_workers: int = 0,
     episode_transform: Optional[Callable] = None,
+    wire_budget: Optional[int] = None,
 ) -> Dict[str, List]:
-    """Evaluate over a fold; returns {task_name: [results...]}."""
+    """Evaluate over a fold; returns {task_name: [results...]}.
+
+    `wire_budget`: assemble dense-layout episodes directly in wire dtypes
+    (sparse fingerprints etc., fastpack.DenseTaskPack.wireized) — only
+    valid when `evaluate_episode` ships episodes through the wire codec +
+    on-device decompress (train/evaluators.make_predict_fn does)."""
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
     spec_fn = episode_spec_fn or (lambda s: EpisodeSpec(support_size=s, query_size=query_budget))
@@ -111,7 +117,15 @@ def eval_model(
     for task in dataset.get_task_reading_iterable(fold, num_workers=num_workers):
         if filter_numeric_labels and not is_valid_numeric_task(task):
             continue
-        pack = fastpack.task_pack_for(task, dense_kw) if use_fastpack else None
+        pack = (
+            fastpack.task_pack_for(
+                task,
+                dense_kw,
+                wire_budget=wire_budget if dense_kw is not None else None,
+            )
+            if use_fastpack
+            else None
+        )
         results = []
         for train_size in support_sizes:
             sampler = StratifiedTaskSampler(

@@ -82,6 +82,7 @@ def episode_stream(
     samples_per_task: int = 1,
     shard: Optional[tuple] = None,
     episode_transform: Optional[Callable] = None,
+    wire_budget: Optional[int] = None,
 ) -> Iterator[Episode]:
     """Stream padded episodes from per-task files (the analogue of
     get_dkt_task_sample_iterable, data/dkt.py:156-207)."""
@@ -104,6 +105,31 @@ def episode_stream(
     # bottleneck once transfers are compressed).
     dense_kw = fastpack.dense_transform_kwargs(episode_transform)
 
+    # Dense packs cached ACROSS task revisits (repeat=True re-reads every
+    # task each epoch with fresh Task objects) keyed by stable task name;
+    # LRU-capped. False = task needs the slow path (oversized molecule).
+    pack_cache: "dict" = {}
+    pack_order: "list" = []
+    _PACK_CACHE_MAX = 256  # ~1 MB/task in wire dtypes
+
+    def _cached_pack(name, build):
+        if name in pack_cache:
+            return pack_cache[name]
+        try:
+            dpack = build()
+        except EpisodeOverflowError:
+            # A molecule exceeds the dense budgets: fall back to
+            # per-episode packing so episodes not containing it still
+            # stream (slow-path parity).
+            dpack = False
+        if dpack is None:
+            dpack = False
+        pack_cache[name] = dpack
+        pack_order.append(name)
+        if len(pack_order) > _PACK_CACHE_MAX:
+            pack_cache.pop(pack_order.pop(0), None)
+        return dpack
+
     def native_task_episodes(task, idx):
         if regression and not native_loader.is_valid_numeric_task_native(task):
             return
@@ -115,15 +141,12 @@ def episode_stream(
                         task, spec, seed=idx + k
                     )
                     if dpack is None:
-                        try:
-                            dpack = native_loader.dense_task_pack_native(
-                                task, dense_kw[0], dense_kw[1]
-                            )
-                        except EpisodeOverflowError:
-                            # A molecule exceeds the dense budgets: fall
-                            # back to per-episode packing so episodes not
-                            # containing it still stream (slow-path parity).
-                            dpack = False
+                        dpack = _cached_pack(
+                            task.name,
+                            lambda: native_loader.dense_task_pack_native(
+                                task, dense_kw[0], dense_kw[1], wire_budget=wire_budget
+                            ),
+                        )
                     if dpack:
                         yield fastpack.assemble_dense_by_idx(
                             dpack, s_idx, q_idx, spec, regression=regression
@@ -145,6 +168,7 @@ def episode_stream(
         if regression and not is_valid_numeric_task(task):
             return
         dpack = None
+        index_of = None  # id(datapoint) -> file-order index, THIS load
         for k in range(samples_per_task):
             try:
                 sample = sampler.sample(task, seed=idx + k)
@@ -154,12 +178,24 @@ def episode_stream(
             try:
                 if dense_kw is not None:
                     if dpack is None:
-                        dpack = fastpack.task_pack_for(task, dense_kw)
-                        if dpack is None:
-                            dpack = False  # oversized molecule: slow path
+                        dpack = _cached_pack(
+                            task.name,
+                            lambda: fastpack.task_pack_for(
+                                task, dense_kw, wire_budget=wire_budget
+                            ),
+                        )
                     if dpack:
-                        yield fastpack.assemble_dense_episode(
-                            dpack, sample, spec, regression=regression
+                        # Cached packs may come from a PREVIOUS load of
+                        # this file (fresh datapoint objects every epoch);
+                        # resolve indices against this load's objects.
+                        if index_of is None:
+                            index_of = {id(s): i for i, s in enumerate(task.samples)}
+                        yield fastpack.assemble_dense_by_idx(
+                            dpack,
+                            np.asarray([index_of[id(s)] for s in sample.train_samples]),
+                            np.asarray([index_of[id(s)] for s in sample.test_samples]),
+                            spec,
+                            regression=regression,
                         )
                         continue
                 yield transform(build_episode(sample, spec, regression=regression))
@@ -220,13 +256,38 @@ def _device_batch_pipeline(
 
     import jax
 
-    from adkf_ift_tpu.utils.wire import WireCodec
+    from adkf_ift_tpu.utils.wire import SparseCounts, WireCodec, densify_counts_host
 
     out: "pyqueue.Queue" = pyqueue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
     # Stable per-leaf dtype schema across the whole run: a batch-dependent
     # signature would recompile the step mid-training (ADVICE r1).
     codec = WireCodec(sparse_counts_budget=sparse_fp_budget)
+
+    def normalize_fp(episodes):
+        """A batch that mixes SparseCounts and dense fingerprint episodes
+        (a slow-path fallback amid wire-ready ones) cannot stack; densify
+        the sparse minority so the codec re-decides uniformly."""
+
+        def has_sparse(ep):
+            return isinstance(ep.support.fingerprints, SparseCounts)
+
+        kinds = {has_sparse(ep) for ep in episodes}
+        if len(kinds) <= 1:
+            return episodes
+        return [
+            ep._replace(
+                support=ep.support._replace(
+                    fingerprints=densify_counts_host(ep.support.fingerprints)
+                ),
+                query=ep.query._replace(
+                    fingerprints=densify_counts_host(ep.query.fingerprints)
+                ),
+            )
+            if has_sparse(ep)
+            else ep
+            for ep in episodes
+        ]
 
     def blocking_put(item):
         """Stop-aware put that never silently drops `item`."""
@@ -241,7 +302,7 @@ def _device_batch_pipeline(
         sentinel = None  # StopIteration -> None; error -> the exception
         try:
             while not stop.is_set():
-                episodes = [next(stream) for _ in range(tasks_per_batch)]
+                episodes = normalize_fp([next(stream) for _ in range(tasks_per_batch)])
                 batch = stack_episodes(episodes)
                 if compress:
                     batch = codec.compress(batch)
@@ -319,6 +380,12 @@ def train_loop(
         num_workers=loop_config.num_reader_workers,
         shard=shard,
         episode_transform=loop_config.episode_transform,
+        # Assemble directly in wire dtypes (sparse fps, uint8 features)
+        # when the batches go over the compressed wire anyway: the codec
+        # then passes leaves through with no per-batch scans.
+        wire_budget=(
+            loop_config.sparse_fp_budget if loop_config.compress_wire else None
+        ),
     )
 
     backend = loop_config.checkpoint_backend

@@ -99,6 +99,21 @@ def _sparsify_counts(x: np.ndarray, budget: int):
     return SparseCounts(order.astype(np.int16), vals.astype(vdtype), x.shape[-1])
 
 
+def densify_counts_host(sp: SparseCounts) -> np.ndarray:
+    """Host-side (numpy) scatter back to the dense [..., D] float32 —
+    used to normalize a batch that mixes sparse and dense fingerprint
+    episodes (rare: a slow-path fallback episode amid wire-ready ones)."""
+    idx = np.asarray(sp.indices, np.int64)
+    vals = np.asarray(sp.values, np.float32)
+    lead, k = idx.shape[:-1], idx.shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    flat_vals = vals.reshape(-1, k)
+    out = np.zeros((flat_idx.shape[0], sp.dense_size), np.float32)
+    # add.at: pad slots (idx 0, value 0) accumulate harmlessly.
+    np.add.at(out, (np.arange(flat_idx.shape[0])[:, None], flat_idx), flat_vals)
+    return out.reshape(*lead, sp.dense_size)
+
+
 def _densify_counts(sp: SparseCounts) -> jnp.ndarray:
     """On-device (traced) scatter back to the dense [..., D] float32."""
     idx = sp.indices.astype(jnp.int32)

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from adkf_ift_tpu.data import EpisodeSpec, StratifiedTaskSampler, build_episode
+from adkf_ift_tpu.data.task import Task
 from adkf_ift_tpu.data.fastpack import (
     DenseTaskPack,
     EpisodeAssembler,
@@ -114,3 +115,124 @@ def test_episode_stream_dense_fast_path_matches(tmp_path, monkeypatch, force_pyt
     assert len(slow) == len(fast) == 3
     for a, b in zip(slow, fast):
         _assert_tree_equal(a, b)
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_episode_stream_wire_fast_path_matches_after_decompress(
+    tmp_path, monkeypatch, force_python
+):
+    """wire_budget assembly emits compressed dtypes + SparseCounts fps;
+    after the codec + on-device decompress it must equal the slow path."""
+    import functools
+
+    from adkf_ift_tpu.data import FSMolDataset
+    from adkf_ift_tpu.data.dataset import DataFold
+    from adkf_ift_tpu.data import native as native_loader
+    from adkf_ift_tpu.data.episodes import stack_episodes
+    from adkf_ift_tpu.train.loop import episode_stream
+    from adkf_ift_tpu.utils.synthetic import make_dataset_dir
+    from adkf_ift_tpu.utils.wire import SparseCounts, WireCodec, decompress_batch
+
+    if force_python:
+        monkeypatch.setattr(native_loader, "native_available", lambda: False)
+
+    root = make_dataset_dir(
+        str(tmp_path / "d"), num_train=3, num_valid=0, num_test=0, samples_per_task=96
+    )
+    ds = FSMolDataset.from_directory(root)
+    transform = functools.partial(episode_to_dense, nodes_per_graph=48, k_per_type=(6, 4, 4))
+    wire_eps = list(
+        episode_stream(ds, DataFold.TRAIN, SPEC, repeat=False, num_workers=0,
+                       episode_transform=transform, wire_budget=192)
+    )
+    flat_eps = list(
+        episode_stream(ds, DataFold.TRAIN, SPEC, repeat=False, num_workers=0)
+    )
+    assert len(wire_eps) == len(flat_eps) == 3
+    # wire dtypes actually on the wire
+    assert isinstance(wire_eps[0].support.fingerprints, SparseCounts)
+    assert wire_eps[0].support.node_mask.dtype == np.uint8
+    assert wire_eps[0].support.in_src[0].dtype == np.int8
+
+    codec = WireCodec(sparse_counts_budget=192)
+    got = decompress_batch(codec.compress(stack_episodes(wire_eps)))
+    want = decompress_batch(
+        codec.compress(stack_episodes([transform(ep) for ep in flat_eps]))
+    )
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_normalize_fp_mixed_batch_stacks():
+    """A batch mixing SparseCounts and dense fingerprint episodes must
+    densify + stack + decompress to the dense values."""
+    from adkf_ift_tpu.data.episodes import stack_episodes
+    from adkf_ift_tpu.train.loop import _device_batch_pipeline  # noqa: F401
+    from adkf_ift_tpu.utils.wire import densify_counts_host
+
+    task = make_task("FASTW", num_samples=128, seed=2)
+    sampler = StratifiedTaskSampler(SPEC.support_size, test_size_or_ratio=SPEC.query_size)
+    pack = TaskPack.from_task(task)
+    dpack = DenseTaskPack.from_task_pack(pack, nodes_per_graph=48, k_per_type=(6, 4, 4))
+    wpack = dpack.wireized(192)
+    s = sampler.sample(task, seed=0)
+    sparse_ep = assemble_dense_episode(wpack, s, SPEC)
+    dense_ep = assemble_dense_episode(dpack, s, SPEC)
+    np.testing.assert_array_equal(
+        densify_counts_host(sparse_ep.support.fingerprints),
+        np.asarray(dense_ep.support.fingerprints),
+    )
+    # mixed batch: stack after densify must not raise
+    fixed = stack_episodes([
+        dense_ep,
+        dense_ep._replace(
+            support=dense_ep.support._replace(
+                fingerprints=densify_counts_host(sparse_ep.support.fingerprints)
+            )
+        ),
+    ])
+    assert np.asarray(fixed.support.fingerprints).shape[0] == 2
+
+
+def test_stream_pack_cache_across_epochs_matches(tmp_path, monkeypatch):
+    """repeat=True re-reads tasks with FRESH datapoint objects each epoch;
+    cached wire packs must still assemble the correct episodes (indices
+    resolved against the current load, not the pack's original objects)."""
+    import functools
+    import itertools
+
+    from adkf_ift_tpu.data import FSMolDataset
+    from adkf_ift_tpu.data.dataset import DataFold
+    from adkf_ift_tpu.data import native as native_loader
+    from adkf_ift_tpu.data.episodes import stack_episodes
+    from adkf_ift_tpu.train.loop import episode_stream
+    from adkf_ift_tpu.utils.synthetic import make_dataset_dir
+    from adkf_ift_tpu.utils.wire import WireCodec, decompress_batch
+
+    monkeypatch.setattr(native_loader, "native_available", lambda: False)
+    root = make_dataset_dir(
+        str(tmp_path / "d"), num_train=2, num_valid=0, num_test=0, samples_per_task=96
+    )
+    ds = FSMolDataset.from_directory(root)
+    transform = functools.partial(episode_to_dense, nodes_per_graph=48, k_per_type=(6, 4, 4))
+    stream = episode_stream(ds, DataFold.TRAIN, SPEC, repeat=True, num_workers=0,
+                            episode_transform=transform, wire_budget=192)
+    eps = list(itertools.islice(stream, 6))  # 3 epochs x 2 tasks
+
+    # Epoch 2/3 episodes (cached packs + fresh Task objects) must match the
+    # slow path at the same (path, idx) seeds after the wire round-trip.
+    paths = ds.get_fold_paths(DataFold.TRAIN)
+    slow = []
+    for idx in range(6):
+        p = paths[idx % 2]
+        task = Task.load_from_file(p)
+        sample = StratifiedTaskSampler(
+            SPEC.support_size, test_size_or_ratio=SPEC.query_size
+        ).sample(task, seed=idx)
+        slow.append(transform(build_episode(sample, SPEC)))
+
+    codec = WireCodec(sparse_counts_budget=192)
+    got = decompress_batch(codec.compress(stack_episodes(eps)))
+    want = decompress_batch(codec.compress(stack_episodes(slow)))
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
