@@ -61,9 +61,12 @@ def evaluate(predict, params, test_tasks, spec, num_samples=8):
     Non-finite predictions (a diverged checkpoint) score as chance
     (0.5) instead of crashing the experiment.
     """
+    import gc
+
     sampler = StratifiedTaskSampler(spec.support_size, test_size_or_ratio=spec.query_size)
     deltas = {}
     for task in test_tasks:
+        gc.collect()  # the tunnel pins episode buffers until collected
         for run in range(num_samples):
             try:
                 ep = build_episode(sampler.sample(task, seed=5000 + run), spec)
@@ -94,12 +97,21 @@ def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps,
     step_fn = make_meta_train_step(
         episode_loss, optimizer, task_chunk=1, remat=False, batch_loss_fn=batch_loss
     )
+    import gc
+
     t0 = time.perf_counter()
     best_val, best_params = -np.inf, jax.tree.map(np.asarray, state.params)
     for step in range(1, steps + 1):
-        state, losses = step_fn(state, jax.device_put(episodes_for(step)))
+        batch = jax.device_put(episodes_for(step))
+        state, losses = step_fn(state, batch)
+        # Per-step host sync + explicit free: unbounded async dispatch on
+        # the tunnel pinned every in-flight batch's host mirror and OOMed
+        # a 125 GB host at ~2600 steps (round-2 run, oom-kill in dmesg).
+        loss = float(np.mean(np.asarray(losses)))
+        del batch, losses
+        if step % 100 == 0:
+            gc.collect()
         if step % eval_every == 0 or step == steps:
-            loss = float(np.mean(np.asarray(losses)))
             msg = f"  [{kind}] step {step}: loss {loss:.3f}"
             if validate is not None:
                 params_np = jax.tree.map(np.asarray, state.params)
@@ -140,6 +152,9 @@ def main():
     ap.add_argument("--features", type=str, default="gnn+fc")
     ap.add_argument("--arms", type=str, default="fresh,adkf_ift,adkf_fo,dkt")
     ap.add_argument("--out", type=str, default=None)
+    # Crash tolerance (the host OOM-killed a 4-arm run): per-episode
+    # results persist per arm; a rerun skips completed arms.
+    ap.add_argument("--partial", type=str, default="/tmp/metagain_partial.json")
     args = ap.parse_args()
 
     train_tasks = [
@@ -253,10 +268,39 @@ def main():
         print(f"  oracle: ΔAUPRC {results['oracle']['mean']:.4f} ± {results['oracle']['sem']:.4f}", flush=True)
 
     per_episode = {}
+    if args.partial and os.path.exists(args.partial):
+        with open(args.partial) as f:
+            loaded = json.load(f)
+        per_episode = {
+            arm: {(k.rsplit("|", 1)[0], int(k.rsplit("|", 1)[1])): v for k, v in d.items()}
+            for arm, d in loaded.items()
+        }
+        print(f"resumed arms from {args.partial}: {sorted(per_episode)}", flush=True)
+
+    def persist():
+        if not args.partial:
+            return
+        dump = {
+            arm: {f"{t}|{r}": float(v) for (t, r), v in d.items()}
+            for arm, d in per_episode.items()
+        }
+        with open(args.partial, "w") as f:
+            json.dump(dump, f)
+
     for name in args.arms.split(","):
         if name == "oracle":
             continue
         arm = arms[name]
+        if name in per_episode:
+            keyed = per_episode[name]
+            deltas = _vals(keyed)
+            results[name] = dict(
+                mean=float(deltas.mean()),
+                sem=float(deltas.std() / np.sqrt(len(deltas))),
+                n=len(deltas),
+            )
+            print(f"  {name} (resumed): ΔAUPRC {results[name]['mean']:.4f} ± {results[name]['sem']:.4f}", flush=True)
+            continue
         print(f"=== arm {name} ===", flush=True)
         params = arm["params"]
         predict = make_predict_fn(arm["kind"], arm["cfg"])
@@ -270,6 +314,7 @@ def main():
             )
         keyed = evaluate(predict, params, test_tasks, spec, num_samples=args.eval_episodes)
         per_episode[name] = keyed
+        persist()
         deltas = _vals(keyed)
         results[name] = dict(
             mean=float(deltas.mean()),

@@ -236,3 +236,38 @@ def test_stream_pack_cache_across_epochs_matches(tmp_path, monkeypatch):
     want = decompress_batch(codec.compress(stack_episodes(slow)))
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wireized_dtype_edges():
+    """Wireized packs: >255 counts widen to uint16, non-integral features
+    stay float32, fp budget overflow falls back to dense counts."""
+    task = make_task("FASTE", num_samples=64, seed=4)
+    pack = TaskPack.from_task(task)
+    dpack = DenseTaskPack.from_task_pack(pack, nodes_per_graph=48, k_per_type=(6, 4, 4))
+
+    # counts >255 in fingerprints -> sparse values widen to uint16
+    big = dpack.fingerprints.copy()
+    big[0, 0] = 300.0
+    import dataclasses
+    w = dataclasses.replace(dpack, fingerprints=big).wireized(192)
+    assert w.fp_vals.dtype == np.uint16
+
+    # non-integral node features stay f32
+    nf = dpack.node_features.copy()
+    nf[0, 0, 0] = 0.5
+    w2 = dataclasses.replace(dpack, node_features=nf).wireized(192)
+    assert w2.node_features.dtype == np.float32
+    assert w2.node_mask.dtype == np.uint8
+
+    # fp rows denser than the budget -> dense (narrowed) fallback
+    dense_fp = np.ones_like(dpack.fingerprints)
+    w3 = dataclasses.replace(dpack, fingerprints=dense_fp).wireized(8)
+    assert w3.fp_idx is None
+    assert w3.fingerprints.dtype == np.uint8
+    assert w3.fingerprints.shape == dense_fp.shape
+
+    # negative (non-count) fingerprints -> f32 dense fallback
+    neg_fp = dpack.fingerprints.copy()
+    neg_fp[0, 0] = -1.0
+    w4 = dataclasses.replace(dpack, fingerprints=neg_fp).wireized(192)
+    assert w4.fp_idx is None and w4.fingerprints.dtype == np.float32
