@@ -71,17 +71,30 @@ def _chol(mat: jnp.ndarray, jitter: float) -> jnp.ndarray:
 
 
 def _train_covariance(
-    config: ExactGPConfig, params: dict, x: jnp.ndarray, mask: Optional[jnp.ndarray]
+    config: ExactGPConfig,
+    params: dict,
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    gram=None,
 ) -> jnp.ndarray:
     """K(x, x) + σ²I, with masked-out rows/cols replaced by identity.
 
     Padding trick: for a padded point i (mask=0) we overwrite row/col i
     with e_i so the Cholesky stays well posed and, together with y_i=0,
     the point contributes only a constant to the log density.
+
+    `gram`: optional precomputed theta-independent Gram intermediate
+    (kernels.base_gram) replacing x entirely — the IFT backward's
+    precision-split entry point.
     """
     noise = raw_to_noise(params["raw_noise"])
-    k = kernel_matrix(config.kernel, params, x, x)
-    n = x.shape[0]
+    if gram is not None:
+        from adkf_ift_tpu.gp.kernels import kernel_matrix_from_gram
+
+        k = kernel_matrix_from_gram(config.kernel, params, gram)
+    else:
+        k = kernel_matrix(config.kernel, params, x, x)
+    n = k.shape[0]
     cov = k + noise * jnp.eye(n, dtype=k.dtype)
     if mask is not None:
         m = mask.astype(cov.dtype)
@@ -123,13 +136,14 @@ def marginal_log_likelihood(
     y: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     lengthscale_prior_loc: Optional[jnp.ndarray] = None,
+    gram=None,
 ) -> jnp.ndarray:
     """Exact MLL averaged over data points, with prior terms.
 
     Matches gpytorch's ExactMarginalLogLikelihood: (log N(y; 0, K+σ²I) +
     Σ log p(θ)) / n. This is the quantity the inner loop maximizes.
     """
-    cov = _train_covariance(config, params, x, mask)
+    cov = _train_covariance(config, params, x, mask, gram=gram)
     if mask is not None:
         y = y * mask.astype(y.dtype)
     chol = _chol(cov, config.jitter)

@@ -63,9 +63,21 @@ def newton_minimize(
     For the non-ARD GP inner problem (3 raw scalars) the dense Hessian
     is 3×3 — forward-over-reverse per iteration is cheap, quadratic
     convergence needs ~8-16 iterations, and each iteration is a handful
-    of fused ops instead of L-BFGS's two-loop machinery. Falls back to
-    steepest descent whenever the Newton direction is not a descent
-    direction (Hessian not PD far from the optimum)."""
+    of fused ops instead of L-BFGS's two-loop machinery.
+
+    SADDLE-FREE: plain (damped) Newton is attracted to ANY stationary
+    point, and measured inner fits on real training trajectories
+    'converged' onto saddles (inner-Hessian eigenvalues down to -7e3 at
+    grad ~1e-3 — benchmarks/ift_stability.py), which breaks the IFT
+    hypergradient's assumption that theta* is a minimum and destabilized
+    full-IFT meta-training. The step therefore preconditions by the
+    eigendecomposition with |eigenvalues| (Dauphin et al.'s saddle-free
+    Newton — repels negative-curvature stationary points, identical to
+    Newton near a minimum), walks the most-negative eigenvector when the
+    gradient vanishes at indefinite curvature, and does not declare
+    convergence while the Hessian has a significantly negative
+    eigenvalue. The reference never faces this: scipy L-BFGS-B
+    (fsmol gp fits) is descent-only."""
     d = x0.shape[0]
     value_and_grad = jax.value_and_grad(fun)
     hess = jax.jacfwd(jax.grad(fun))
@@ -87,10 +99,25 @@ def newton_minimize(
     f0, g0 = value_and_grad(x0)
 
     def step(carry, _):
-        x, f, grad, converged, iters = carry
-        h = hess(x) + config.newton_damping * jnp.eye(d, dtype=x.dtype)
-        direction = -jnp.linalg.solve(h, grad)
-        descent = jnp.isfinite(jnp.dot(grad, direction)) & (jnp.dot(grad, direction) < 0.0)
+        x, f, grad, lam, vecs, converged, iters = carry
+        lam_abs = jnp.maximum(jnp.abs(lam), config.newton_damping)
+        # Saddle-free Newton direction: -V |L|^-1 V^T g — a strict
+        # descent direction whenever grad != 0.
+        direction = -(vecs @ ((vecs.T @ grad) / lam_abs))
+        # Negative-curvature escape: at an (approximate) saddle the
+        # gradient — and with it the step above — vanishes; move along
+        # the most-negative eigenvector instead (downhill sign; with
+        # grad ~ 0 the Armijo test accepts whichever sign lowers f).
+        v0 = vecs[:, 0]
+        nc = v0 * jnp.where(jnp.dot(v0, grad) > 0.0, -1.0, 1.0)
+        indefinite = lam[0] < -1e3 * config.newton_damping
+        at_saddle = indefinite & (
+            jnp.linalg.norm(direction) < 1e2 * config.grad_tol
+        )
+        direction = jnp.where(at_saddle, nc, direction)
+        descent = jnp.isfinite(jnp.dot(grad, direction)) & (
+            jnp.dot(grad, direction) <= 0.0
+        )
         direction = jnp.where(descent, direction, -grad)
 
         step_size, ls_ok = linesearch(x, f, grad, direction)
@@ -100,13 +127,25 @@ def newton_minimize(
         x_new = jnp.where(moved, x_new, x)
         f_new = jnp.where(moved, f_new, f)
         g_new = jnp.where(moved, g_new, grad)
+        lam_new, vecs_new = jnp.linalg.eigh(hess(x_new))
         grad_norm = jnp.max(jnp.abs(g_new))
-        converged = converged | (grad_norm < config.grad_tol) | ~ls_ok
+        # Don't declare convergence on a saddle (small gradient but
+        # significantly indefinite curvature) — keep escaping instead.
+        stationary_min = (grad_norm < config.grad_tol) & (
+            lam_new[0] > -1e3 * config.newton_damping
+        )
+        converged = converged | stationary_min | ~ls_ok
         iters = iters + jnp.where(converged, 0, 1)
-        return (x_new, f_new, g_new, converged, iters), None
+        return (x_new, f_new, g_new, lam_new, vecs_new, converged, iters), None
 
-    init = (x0, f0, g0, jnp.max(jnp.abs(g0)) < config.grad_tol, jnp.zeros((), jnp.int32))
-    (x, f, g, _, iters), _ = jax.lax.scan(step, init, None, length=config.newton_iters)
+    lam0, vecs0 = jnp.linalg.eigh(hess(x0))
+    converged0 = (jnp.max(jnp.abs(g0)) < config.grad_tol) & (
+        lam0[0] > -1e3 * config.newton_damping
+    )
+    init = (x0, f0, g0, lam0, vecs0, converged0, jnp.zeros((), jnp.int32))
+    (x, f, g, _, _, _, iters), _ = jax.lax.scan(
+        step, init, None, length=config.newton_iters
+    )
     return LBFGSResult(x=x, value=f, grad_norm=jnp.max(jnp.abs(g)), iterations=iters)
 
 
@@ -287,14 +326,18 @@ def make_inner_loss(
     y: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     lengthscale_prior_loc: Optional[jnp.ndarray] = None,
+    gram=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Inner objective: negative (MLL + priors)/n as a function of the flat
-    raw GP parameter vector (the reference's -mll, adaptive_dkt.py:173-176)."""
+    raw GP parameter vector (the reference's -mll, adaptive_dkt.py:173-176).
+    With `gram` (kernels.base_gram) the features `x` are unused — the loss
+    becomes a pure function of (theta, gram)."""
 
     def loss(flat: jnp.ndarray) -> jnp.ndarray:
         params = unflatten_gp_params(config.kernel, flat)
         return -marginal_log_likelihood(
-            config, params, x, y, mask=mask, lengthscale_prior_loc=lengthscale_prior_loc
+            config, params, x, y, mask=mask,
+            lengthscale_prior_loc=lengthscale_prior_loc, gram=gram,
         )
 
     return loss

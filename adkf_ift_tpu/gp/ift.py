@@ -77,15 +77,26 @@ def _fwd(config, optimizer, first_order, x, y, init_flat, mask, lengthscale_prio
 
 
 def _solve_hessian_system(inner_loss_theta, theta_star, g):
-    """Solve H v = g where H = ∂²L_in/∂θ² at theta*."""
+    """Solve H v = g where H = ∂²L_in/∂θ² at theta*.
+
+    The dense route preconditions by |eigenvalues| (clamped) instead of
+    a plain solve: inner fits on real training trajectories stop at
+    points whose Hessian retains mildly negative eigenvalues (iteration
+    cap / f32 plateaus — benchmarks/ift_stability.py), and a true
+    inverse there flips the correction's sign along those directions and
+    blows its norm up (measured corr/direct ratios up to ~9x). The
+    |Λ|-preconditioned solve equals the exact IFT whenever θ* is a
+    minimum and degrades gracefully when it is not. (The reference
+    asserts invertibility and solves regardless,
+    cauchy_hypergradient.py:66-75 — scipy L-BFGS-B rarely leaves it
+    indefinite.)"""
     d = theta_star.shape[0]
     grad_fn = jax.grad(inner_loss_theta)
     if d <= DENSE_HESSIAN_MAX_DIM:
         h = jax.jacfwd(grad_fn)(theta_star)
-        # Tiny Tikhonov damping guards near-singular Hessians (the
-        # reference only asserts invertibility, cauchy_hypergradient.py:66-75).
-        h = h + 1e-6 * jnp.eye(d, dtype=h.dtype)
-        return jnp.linalg.solve(h, g)
+        lam, vecs = jnp.linalg.eigh(h)
+        lam_abs = jnp.maximum(jnp.abs(lam), 1e-6)
+        return vecs @ ((vecs.T @ g) / lam_abs)
 
     def hvp(v):
         return jax.jvp(grad_fn, (theta_star,), (v,))[1] + 1e-6 * v
@@ -103,18 +114,80 @@ def _bwd(config, optimizer, first_order, residuals, theta_bar):
     if first_order:
         return (jnp.zeros_like(x), jnp.zeros_like(y), zero_init, zero_mask, zero_loc)
 
-    def inner_loss_theta(theta):
-        return make_inner_loss(config, x, y, mask, lengthscale_prior_loc)(theta)
+    # PRECISION SPLIT. Reverse-over-reverse through the MLL in float32
+    # is catastrophically ill-conditioned: measured end-to-end, the f32
+    # correction term carries 20-140% relative error vs the f64 ground
+    # truth (internal cancellation scales ~1e5-1e6 x f32 eps) while the
+    # first-order term is accurate to ~1e-4 — i.e. the f32 IFT
+    # correction is mostly noise, which destabilized full-IFT
+    # meta-training. (The reference computes this contraction in torch
+    # f32, cauchy_hypergradient.py:128-161, and inherits the noise.)
+    #
+    # All theta-space second-order math therefore runs in float64 via a
+    # trace-scoped x64 region (the jaxpr keeps f64 ops regardless of the
+    # global flag). For kernels that factor through a theta-independent
+    # Gram intermediate (kernels.gram_supported — the flagship Matern
+    # path), the f64 region touches ONLY [n, n] objects: the loss is
+    # re-expressed as L(theta; GRAM(x)), the cotangent is pulled back to
+    # the Gram in f64, and the final Gram->features pullback (the big
+    # [n, d] matmuls) runs in f32, where it is a well-conditioned
+    # FIRST-order product. Cost on the bench config: unmeasurable
+    # (vs -15% steps/s for the whole-backward-in-f64 variant).
+    from adkf_ift_tpu.gp.kernels import base_gram, gram_supported
 
-    v = _solve_hessian_system(inner_loss_theta, theta_star, theta_bar)
+    x_dt, y_dt = x.dtype, y.dtype
+    use_gram = gram_supported(config.kernel)
+    gram32 = base_gram(config.kernel, x, x) if use_gram else None
+    with jax.enable_x64(True):
+        f64 = jnp.float64
+        y64, theta64, bar64 = (
+            y.astype(f64), theta_star.astype(f64), theta_bar.astype(f64)
+        )
+        mask64 = None if mask is None else mask.astype(f64)
+        loc64 = (
+            None
+            if lengthscale_prior_loc is None
+            else lengthscale_prior_loc.astype(f64)
+        )
 
-    # Cotangents wrt (x, y): -d/d(x,y) <grad_theta L_in(x, y, theta*), v>
-    def grad_wrt_theta(x_, y_):
-        loss = make_inner_loss(config, x_, y_, mask, lengthscale_prior_loc)
-        return jax.grad(loss)(theta_star)
+        if use_gram:
+            gram64 = jax.tree.map(lambda a: a.astype(f64), gram32)
 
-    _, vjp_fn = jax.vjp(grad_wrt_theta, x, y)
-    x_bar, y_bar = vjp_fn(v)
+            def inner_loss_theta(theta):
+                return make_inner_loss(config, None, y64, mask64, loc64, gram=gram64)(theta)
+
+            v = _solve_hessian_system(inner_loss_theta, theta64, bar64)
+
+            def grad_wrt_gram(gram_, y_):
+                loss = make_inner_loss(config, None, y_, mask64, loc64, gram=gram_)
+                return jax.grad(loss)(theta64)
+
+            _, vjp_fn = jax.vjp(grad_wrt_gram, gram64, y64)
+            gram_bar64, y_bar = vjp_fn(v)
+            gram_bar = jax.tree.map(lambda a: a.astype(x_dt), gram_bar64)
+            y_bar = y_bar.astype(y_dt)
+        else:
+            x64 = x.astype(f64)
+
+            def inner_loss_theta(theta):
+                return make_inner_loss(config, x64, y64, mask64, loc64)(theta)
+
+            v = _solve_hessian_system(inner_loss_theta, theta64, bar64)
+
+            # Cotangents wrt (x, y): -d/d(x,y) <grad_theta L_in, v>
+            def grad_wrt_theta(x_, y_):
+                loss = make_inner_loss(config, x_, y_, mask64, loc64)
+                return jax.grad(loss)(theta64)
+
+            _, vjp_fn = jax.vjp(grad_wrt_theta, x64, y64)
+            x_bar, y_bar = vjp_fn(v)
+            x_bar = x_bar.astype(x_dt)
+            y_bar = y_bar.astype(y_dt)
+
+    if use_gram:
+        # f32 first-order pullback of the Gram cotangent to the features.
+        _, vjp_x = jax.vjp(lambda x_: base_gram(config.kernel, x_, x_), x)
+        x_bar = vjp_x(gram_bar)[0]
     return (-x_bar, -y_bar, zero_init, zero_mask, zero_loc)
 
 

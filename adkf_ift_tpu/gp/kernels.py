@@ -112,6 +112,61 @@ def tanimoto(x1: jnp.ndarray, x2: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray
     return (dot + eps) / (eps + n1 + n2.T - dot)
 
 
+def gram_supported(config: KernelConfig) -> bool:
+    """Whether this kernel factors as K = g(theta, GRAM(x1, x2)) with a
+    theta-INDEPENDENT Gram intermediate (used by the IFT backward's
+    precision split, gp/ift.py: theta-space second-order in f64 over the
+    tiny [n, n] Gram objects, feature-space first-order in f32)."""
+    if config.ard_dims:
+        return False  # per-dim scaling mixes theta into the Gram
+    return config.kind in ("matern", "rbf", "RBF", "linear", "cossim", "poli1", "poli2", "tanimoto")
+
+
+def base_gram(config: KernelConfig, x1: jnp.ndarray, x2: jnp.ndarray):
+    """The theta-independent Gram intermediate (see gram_supported)."""
+    kind = config.kind
+    if kind in ("matern", "rbf", "RBF"):
+        return _sq_dist(x1, x2)
+    if kind == "tanimoto":
+        dot = jnp.matmul(x1, x2.T, precision=_HIGHEST)
+        n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+        n2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
+        return (dot, n1, n2)
+    # linear / cossim / poli1 / poli2
+    return jnp.matmul(x1, x2.T, precision=_HIGHEST)
+
+
+def kernel_matrix_from_gram(config: KernelConfig, params: dict, gram) -> jnp.ndarray:
+    """kernel_matrix with the feature-dependent Gram precomputed (same
+    math as kernel_matrix; scalar-lengthscale kernels rescale the
+    squared distances by 1/ls^2 instead of scaling the features)."""
+    kind = config.kind
+    outputscale = raw_to_positive(params["raw_outputscale"])
+    if kind in ("matern", "rbf", "RBF"):
+        ls = raw_to_positive(params["raw_lengthscale"])
+        sq = gram / (ls * ls)
+        if kind == "matern":
+            r = jnp.sqrt(sq + 1e-20)
+            sqrt5_r = math.sqrt(5.0) * r
+            base = (1.0 + sqrt5_r + (5.0 / 3.0) * r * r) * jnp.exp(-sqrt5_r)
+        else:
+            base = jnp.exp(-0.5 * sq)
+    elif kind == "linear":
+        base = raw_to_positive(params["raw_variance"]) * gram
+    elif kind == "cossim":
+        base = gram
+    elif kind in ("poli1", "poli2"):
+        power = 1 if kind == "poli1" else 2
+        base = (gram + raw_to_positive(params["raw_offset"])) ** power
+    elif kind == "tanimoto":
+        dot, n1, n2 = gram
+        eps = 1e-6
+        base = (dot + eps) / (eps + n1 + n2.T - dot)
+    else:
+        raise ValueError(f"Unsupported gram kernel '{kind}'")
+    return outputscale * base
+
+
 def kernel_matrix(
     config: KernelConfig,
     params: dict,

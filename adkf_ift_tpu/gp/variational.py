@@ -269,19 +269,33 @@ def _bwd(config, optimizer, first_order, residuals, theta_bar):
     if first_order:
         return (jnp.zeros_like(x), jnp.zeros_like(y), zero_init, zero_mask, zero_loc)
 
-    loss_theta = make_vgp_inner_loss(config, x, y, mask, ls_loc)
-    grad_fn = jax.grad(loss_theta)
+    # Float64 backward (trace-scoped x64) — reverse-over-reverse through
+    # the ELBO in f32 carries the same catastrophic cancellation measured
+    # on the exact-GP path (gp/ift.py:_bwd); the tensors here are tiny.
+    x_dt, y_dt = x.dtype, y.dtype
+    with jax.enable_x64(True):
+        f64 = jnp.float64
+        x64, y64, theta64, bar64 = (
+            x.astype(f64), y.astype(f64), theta_star.astype(f64), theta_bar.astype(f64)
+        )
+        mask64 = None if mask is None else mask.astype(f64)
+        loc64 = None if ls_loc is None else ls_loc.astype(f64)
 
-    def hvp(v):
-        return jax.jvp(grad_fn, (theta_star,), (v,))[1] + 1e-6 * v
+        loss_theta = make_vgp_inner_loss(config, x64, y64, mask64, loc64)
+        grad_fn = jax.grad(loss_theta)
 
-    v, _ = jax.scipy.sparse.linalg.cg(hvp, theta_bar, maxiter=_CG_ITERS)
+        def hvp(v):
+            return jax.jvp(grad_fn, (theta64,), (v,))[1] + 1e-6 * v
 
-    def grad_wrt_theta(x_, y_):
-        return jax.grad(make_vgp_inner_loss(config, x_, y_, mask, ls_loc))(theta_star)
+        v, _ = jax.scipy.sparse.linalg.cg(hvp, bar64, maxiter=_CG_ITERS)
 
-    _, vjp_fn = jax.vjp(grad_wrt_theta, x, y)
-    x_bar, y_bar = vjp_fn(v)
+        def grad_wrt_theta(x_, y_):
+            return jax.grad(make_vgp_inner_loss(config, x_, y_, mask64, loc64))(theta64)
+
+        _, vjp_fn = jax.vjp(grad_wrt_theta, x64, y64)
+        x_bar, y_bar = vjp_fn(v)
+        x_bar = x_bar.astype(x_dt)
+        y_bar = y_bar.astype(y_dt)
     return (-x_bar, -y_bar, zero_init, zero_mask, zero_loc)
 
 

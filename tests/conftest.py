@@ -30,8 +30,12 @@ except RuntimeError:
     pass
 
 # Persistent compilation cache: model-level tests compile sizable graphs;
-# cache them across pytest runs.
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+# cache them across pytest runs. MUST be separate from the TPU runs'
+# .jax_cache: the axon tunnel's remote compile server emits XLA:CPU AOT
+# artifacts for ITS host's cpu features, and loading those here produces
+# a cpu_aot_loader feature-mismatch warning and (observed) silently wrong
+# numerics in cache-hit tests.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

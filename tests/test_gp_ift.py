@@ -126,20 +126,42 @@ def test_ift_correction_term_matches_manual_solve():
         params = unflatten_gp_params(_CFG.kernel, theta)
         return predictive_nll(_CFG, params, xs_, ys, xq, yq)
 
-    # Direct term:
-    g_direct = jax.grad(outer_of, argnums=0)(xs, theta_star)
-    # Correction: v = H^{-1} dL_out/dtheta; corr = -(d²L_in/dx dθ) v
-    dout_dtheta = jax.grad(outer_of, argnums=1)(xs, theta_star)
-    inner = lambda xs_, th: make_inner_loss(_CFG, xs_, ys, None, ls_loc)(th)
-    h = jax.jacfwd(jax.grad(inner, argnums=1), argnums=1)(xs, theta_star)
-    v = jnp.linalg.solve(h + 1e-6 * jnp.eye(h.shape[0]), dout_dtheta)
-    _, vjp_fn = jax.vjp(lambda x_: jax.grad(inner, argnums=1)(x_, theta_star), xs)
-    corr = vjp_fn(v)[0]
-    manual = np.asarray(g_direct - corr)
+    # Manual recipe in FLOAT64: reverse-over-reverse through the MLL in
+    # f32 is catastrophically cancellation-prone (measured 20-140%
+    # relative error on the correction — the reason gp/ift._bwd runs in
+    # f64), so the ground-truth cross-check must be f64 as well.
+    with jax.enable_x64(True):
+        xs64 = xs.astype(jnp.float64)
+        ys64 = ys.astype(jnp.float64)
+        xq64 = xq.astype(jnp.float64)
+        yq64 = yq.astype(jnp.float64)
+        th64 = theta_star.astype(jnp.float64)
+        ll64 = ls_loc.astype(jnp.float64)
 
-    auto = np.asarray(
-        jax.grad(lambda x_: _outer(x_, ys, xq, yq))(xs)
-    )
+        def outer64(xs_, theta):
+            params = unflatten_gp_params(_CFG.kernel, theta)
+            return predictive_nll(_CFG, params, xs_, ys64, xq64, yq64)
+
+        g_direct = jax.grad(outer64, argnums=0)(xs64, th64)
+        dout_dtheta = jax.grad(outer64, argnums=1)(xs64, th64)
+        inner = lambda xs_, th: make_inner_loss(_CFG, xs_, ys64, None, ll64)(th)
+        h = jax.jacfwd(jax.grad(inner, argnums=1), argnums=1)(xs64, th64)
+        lam, vecs = jnp.linalg.eigh(h)
+        # the implementation's |eigenvalue|-preconditioned solve
+        v = vecs @ ((vecs.T @ dout_dtheta) / jnp.maximum(jnp.abs(lam), 1e-6))
+        _, vjp_fn = jax.vjp(lambda x_: jax.grad(inner, argnums=1)(x_, th64), xs64)
+        corr = vjp_fn(v)[0]
+        manual = np.asarray(g_direct - corr)
+
+        # whenever theta* is a comfortable minimum the preconditioned
+        # solve must coincide with the reference's plain solve
+        if float(lam.min()) > 1e-3:
+            v_plain = jnp.linalg.solve(h + 1e-6 * jnp.eye(h.shape[0]), dout_dtheta)
+            np.testing.assert_allclose(
+                np.asarray(vjp_fn(v_plain)[0]), np.asarray(corr), rtol=1e-4, atol=1e-8
+            )
+
+    auto = np.asarray(jax.grad(lambda x_: _outer(x_, ys, xq, yq))(xs))
     assert np.allclose(auto, manual, rtol=1e-3, atol=1e-5)
 
 
@@ -185,3 +207,20 @@ def test_ard_fit_and_ift_via_cg():
     assert np.isfinite(float(loss))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_hypergradient_f32_matches_f64_pipeline():
+    """Regression: the f32 pipeline's hypergradient must track the f64
+    ground truth to <1e-3 relative. Without the f64/Gram-split backward
+    (gp/ift.py:_bwd) this error was 20-140% — the IFT correction was
+    numerical noise."""
+    for seed in (3, 11):
+        xs, ys, xq, yq = _episode(seed, ns=32, nq=16, d=16)
+        g32 = np.asarray(jax.grad(lambda x_: _outer(x_, ys, xq, yq))(xs))
+        with jax.enable_x64(True):
+            xs64, ys64, xq64, yq64 = (
+                jnp.asarray(np.asarray(a), jnp.float64) for a in (xs, ys, xq, yq)
+            )
+            g64 = np.asarray(jax.grad(lambda x_: _outer(x_, ys64, xq64, yq64))(xs64))
+        rel = np.abs(g32 - g64).max() / np.abs(g64).max()
+        assert rel < 1e-3, (seed, rel)
