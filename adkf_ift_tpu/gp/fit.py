@@ -108,8 +108,15 @@ def newton_minimize(
         # gradient — and with it the step above — vanishes; move along
         # the most-negative eigenvector instead (downhill sign; with
         # grad ~ 0 the Armijo test accepts whichever sign lowers f).
+        # The direction is scaled so the line-search ladder's LARGEST
+        # trial is a unit move in raw-parameter space: with dg ~ 0 the
+        # Armijo test accepts any non-increase, and an unbounded 2^k
+        # jump along a flat/negative direction can land on degenerate
+        # hyperparameters (noise -> 0 => singular K) that technically
+        # lower the inner loss (observed: meta-training arms diverged).
         v0 = vecs[:, 0]
         nc = v0 * jnp.where(jnp.dot(v0, grad) > 0.0, -1.0, 1.0)
+        nc = nc * (2.0 ** (-config.max_growth))
         indefinite = lam[0] < -1e3 * config.newton_damping
         at_saddle = indefinite & (
             jnp.linalg.norm(direction) < 1e2 * config.grad_tol

@@ -131,6 +131,10 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--train-tasks", type=int, default=24)
     ap.add_argument("--val-tasks", type=int, default=6)
+    # Checkpoint-selection power: 6 tasks x 4 episodes (=24) has ~0.01
+    # dAUPRC selector SEM — too noisy to pick between checkpoints that
+    # differ by ~0.02. Raise for final runs.
+    ap.add_argument("--val-episodes", type=int, default=4)
     ap.add_argument("--eval-every", type=int, default=200)
     ap.add_argument("--test-tasks", type=int, default=10)
     ap.add_argument("--tasks-per-batch", type=int, default=8)
@@ -309,7 +313,9 @@ def main():
             params = train_arm(
                 name, arm["cfg"], arm["loss_fns"], params, episodes_for,
                 args.steps, args.tasks_per_batch, lr,
-                validate=lambda p: evaluate(predict, p, val_tasks, spec, num_samples=4),
+                validate=lambda p: evaluate(
+                    predict, p, val_tasks, spec, num_samples=args.val_episodes
+                ),
                 eval_every=args.eval_every,
             )
         keyed = evaluate(predict, params, test_tasks, spec, num_samples=args.eval_episodes)
