@@ -308,16 +308,25 @@ def main():
         print(f"=== arm {name} ===", flush=True)
         params = arm["params"]
         predict = make_predict_fn(arm["kind"], arm["cfg"])
+        ckpt_path = f"/tmp/metagain_params_{name}.npz"
         if arm["train"]:
-            lr = args.lr_dkt if name == "dkt" else args.lr
-            params = train_arm(
-                name, arm["cfg"], arm["loss_fns"], params, episodes_for,
-                args.steps, args.tasks_per_batch, lr,
-                validate=lambda p: evaluate(
-                    predict, p, val_tasks, spec, num_samples=args.val_episodes
-                ),
-                eval_every=args.eval_every,
-            )
+            if os.path.exists(ckpt_path):
+                loaded = np.load(ckpt_path, allow_pickle=True)
+                flat = [loaded[k] for k in sorted(loaded.files, key=int)]
+                params = jax.tree.unflatten(jax.tree.structure(params), flat)
+                print(f"  {name}: loaded best checkpoint from {ckpt_path}", flush=True)
+            else:
+                lr = args.lr_dkt if name == "dkt" else args.lr
+                params = train_arm(
+                    name, arm["cfg"], arm["loss_fns"], params, episodes_for,
+                    args.steps, args.tasks_per_batch, lr,
+                    validate=lambda p: evaluate(
+                        predict, p, val_tasks, spec, num_samples=args.val_episodes
+                    ),
+                    eval_every=args.eval_every,
+                )
+                flat = jax.tree.leaves(params)
+                np.savez(ckpt_path, **{str(i): np.asarray(l) for i, l in enumerate(flat)})
         keyed = evaluate(predict, params, test_tasks, spec, num_samples=args.eval_episodes)
         per_episode[name] = keyed
         persist()
