@@ -272,8 +272,9 @@ class NativeTaskQueue:
             pass
 
 
-def stratified_indices_native(
-    task: NativeTask,
+def stratified_indices_from_labels(
+    bool_labels: np.ndarray,
+    name: str,
     spec: EpisodeSpec,
     seed: int = 0,
     test_size_or_ratio=None,
@@ -281,7 +282,9 @@ def stratified_indices_native(
     """(support, query) molecule indices with the EXACT seed contract of
     StratifiedTaskSampler (samplers.py:185-256): samples ordered
     negatives-then-positives, sklearn StratifiedShuffleSplit with
-    random_state=seed — byte-identical episodes to the Python path."""
+    random_state=seed — byte-identical episodes to the Python path.
+    Needs only the task's ±1 labels in file order (cacheable: episode
+    streams sample revisited tasks without re-parsing the file)."""
     from sklearn.model_selection import StratifiedShuffleSplit
 
     from adkf_ift_tpu.data.samplers import (
@@ -289,7 +292,6 @@ def stratified_indices_native(
         FoldTooSmallException,
     )
 
-    bool_labels = task.bool_labels()  # ±1, file order
     neg = np.where(bool_labels < 0)[0]
     pos = np.where(bool_labels > 0)[0]
     order = np.concatenate([neg, pos])  # neg + pos, like the sampler
@@ -305,7 +307,7 @@ def stratified_indices_native(
     else:
         num_test = min(int(test_size_or_ratio * n), possible_test)
     if num_test < 2:
-        raise DatasetTooSmallException(f"{task.name}: test fold would have {num_test} < 2")
+        raise DatasetTooSmallException(f"{name}: test fold would have {num_test} < 2")
 
     splitter = StratifiedShuffleSplit(
         n_splits=1, train_size=train_size, test_size=num_test, random_state=seed
@@ -317,10 +319,22 @@ def stratified_indices_native(
     s_labels = bool_labels[support_idx]
     q_labels = bool_labels[query_idx]
     if not (0 < (s_labels > 0).sum() < len(s_labels)):
-        raise FoldTooSmallException(f"{task.name}: train fold single-class")
+        raise FoldTooSmallException(f"{name}: train fold single-class")
     if not (0 < (q_labels > 0).sum() < len(q_labels)):
-        raise FoldTooSmallException(f"{task.name}: test fold single-class")
+        raise FoldTooSmallException(f"{name}: test fold single-class")
     return support_idx, query_idx
+
+
+def stratified_indices_native(
+    task: NativeTask,
+    spec: EpisodeSpec,
+    seed: int = 0,
+    test_size_or_ratio=None,
+) -> Tuple[List[int], List[int]]:
+    """stratified_indices_from_labels over a parsed native task."""
+    return stratified_indices_from_labels(
+        task.bool_labels(), task.name, spec, seed, test_size_or_ratio
+    )
 
 
 def stratified_episode_native(

@@ -105,53 +105,77 @@ def episode_stream(
     # bottleneck once transfers are compressed).
     dense_kw = fastpack.dense_transform_kwargs(episode_transform)
 
-    # Dense packs cached ACROSS task revisits (repeat=True re-reads every
-    # task each epoch with fresh Task objects) keyed by stable task name;
-    # LRU-capped. False = task needs the slow path (oversized molecule).
+    # Dense packs + labels cached ACROSS task revisits (repeat=True
+    # re-reads every task each epoch) keyed by stable task name;
+    # LRU-capped. A cache HIT serves episodes with NO file parse at all
+    # — measured: re-parsing the gzip JSONL was 59 of the 63 ms/episode
+    # on revisits, capping real training at ~1.0 steps/s. False = task
+    # needs the slow path (oversized molecule).
     pack_cache: "dict" = {}
     pack_order: "list" = []
     _PACK_CACHE_MAX = 256  # ~1 MB/task in wire dtypes
 
-    def _cached_pack(name, build):
-        if name in pack_cache:
-            return pack_cache[name]
+    def _cache_put(name, entry):
+        pack_cache[name] = entry
+        pack_order.append(name)
+        if len(pack_order) > _PACK_CACHE_MAX:
+            pack_cache.pop(pack_order.pop(0), None)
+        return entry
+
+    def _task_name_of(path):
+        return os.path.basename(path).split(".jsonl")[0]
+
+    def _build_entry(name, dpack_builder, labels, numeric_ok):
         try:
-            dpack = build()
+            dpack = dpack_builder()
         except EpisodeOverflowError:
             # A molecule exceeds the dense budgets: fall back to
             # per-episode packing so episodes not containing it still
             # stream (slow-path parity).
-            dpack = False
+            dpack = None
         if dpack is None:
-            dpack = False
-        pack_cache[name] = dpack
-        pack_order.append(name)
-        if len(pack_order) > _PACK_CACHE_MAX:
-            pack_cache.pop(pack_order.pop(0), None)
-        return dpack
+            return _cache_put(name, False)
+        return _cache_put(
+            name,
+            {"dpack": dpack, "labels": np.asarray(labels), "numeric_ok": bool(numeric_ok)},
+        )
 
-    def native_task_episodes(task, idx):
-        if regression and not native_loader.is_valid_numeric_task_native(task):
+    def cached_episodes(name, ent, idx):
+        """Episodes from a cache entry — no file IO, no parsing."""
+        if regression and not ent["numeric_ok"]:
             return
-        dpack = None
         for k in range(samples_per_task):
             try:
-                if dense_kw is not None:
-                    s_idx, q_idx = native_loader.stratified_indices_native(
-                        task, spec, seed=idx + k
-                    )
-                    if dpack is None:
-                        dpack = _cached_pack(
-                            task.name,
-                            lambda: native_loader.dense_task_pack_native(
-                                task, dense_kw[0], dense_kw[1], wire_budget=wire_budget
-                            ),
-                        )
-                    if dpack:
-                        yield fastpack.assemble_dense_by_idx(
-                            dpack, s_idx, q_idx, spec, regression=regression
-                        )
-                        continue
+                s_idx, q_idx = native_loader.stratified_indices_from_labels(
+                    ent["labels"], name, spec, seed=idx + k
+                )
+                yield fastpack.assemble_dense_by_idx(
+                    ent["dpack"], s_idx, q_idx, spec, regression=regression
+                )
+            except (SamplingException, ValueError) as e:
+                logger.debug("%s: sampling failed (%s)", name, e)
+
+    def native_task_episodes(task, idx):
+        numeric_ok = not regression or native_loader.is_valid_numeric_task_native(task)
+        if regression and not numeric_ok:
+            if dense_kw is not None:
+                _cache_put(task.name, {"dpack": None, "labels": None, "numeric_ok": False})
+            return
+        if dense_kw is not None and task.name not in pack_cache:
+            _build_entry(
+                task.name,
+                lambda: native_loader.dense_task_pack_native(
+                    task, dense_kw[0], dense_kw[1], wire_budget=wire_budget
+                ),
+                task.bool_labels(),
+                numeric_ok,
+            )
+        ent = pack_cache.get(task.name) if dense_kw is not None else None
+        if ent:
+            yield from cached_episodes(task.name, ent, idx)
+            return
+        for k in range(samples_per_task):
+            try:
                 yield transform(
                     native_loader.stratified_episode_native(
                         task, spec, seed=idx + k, regression=regression
@@ -161,14 +185,37 @@ def episode_stream(
                 logger.debug("%s: native sampling failed (%s)", task.name, e)
 
     def native_episodes(path, idx):
+        if dense_kw is not None:
+            ent = pack_cache.get(_task_name_of(path))
+            if ent is not None and ent is not False:
+                yield from cached_episodes(_task_name_of(path), ent, idx)
+                return
         yield from native_task_episodes(native_loader.NativeTask(path), idx)
 
     def python_episodes(path, idx):
+        if dense_kw is not None:
+            name = _task_name_of(path)
+            ent = pack_cache.get(name)
+            if ent is not None and ent is not False:
+                yield from cached_episodes(name, ent, idx)
+                return
         task = Task.load_from_file(path)
-        if regression and not is_valid_numeric_task(task):
+        numeric_ok = not regression or is_valid_numeric_task(task)
+        if regression and not numeric_ok:
+            if dense_kw is not None:
+                _cache_put(task.name, {"dpack": None, "labels": None, "numeric_ok": False})
             return
-        dpack = None
-        index_of = None  # id(datapoint) -> file-order index, THIS load
+        if dense_kw is not None and task.name not in pack_cache:
+            _build_entry(
+                task.name,
+                lambda: fastpack.task_pack_for(task, dense_kw, wire_budget=wire_budget),
+                [1.0 if s.bool_label else -1.0 for s in task.samples],
+                numeric_ok,
+            )
+        ent = pack_cache.get(task.name) if dense_kw is not None else None
+        if ent:
+            yield from cached_episodes(task.name, ent, idx)
+            return
         for k in range(samples_per_task):
             try:
                 sample = sampler.sample(task, seed=idx + k)
@@ -176,36 +223,18 @@ def episode_stream(
                 logger.debug("%s: sampling failed (%s)", task.name, e)
                 continue
             try:
-                if dense_kw is not None:
-                    if dpack is None:
-                        dpack = _cached_pack(
-                            task.name,
-                            lambda: fastpack.task_pack_for(
-                                task, dense_kw, wire_budget=wire_budget
-                            ),
-                        )
-                    if dpack:
-                        # Cached packs may come from a PREVIOUS load of
-                        # this file (fresh datapoint objects every epoch);
-                        # resolve indices against this load's objects.
-                        if index_of is None:
-                            index_of = {id(s): i for i, s in enumerate(task.samples)}
-                        yield fastpack.assemble_dense_by_idx(
-                            dpack,
-                            np.asarray([index_of[id(s)] for s in sample.train_samples]),
-                            np.asarray([index_of[id(s)] for s in sample.test_samples]),
-                            spec,
-                            regression=regression,
-                        )
-                        continue
                 yield transform(build_episode(sample, spec, regression=regression))
             except Exception as e:  # noqa: BLE001 — budget overflows etc.
                 logger.debug("%s: packing failed (%s)", task.name, e)
 
-    if use_native and num_workers > 0:
+    if use_native and num_workers > 0 and dense_kw is None:
         # Fully-native data plane: path dispensing + gzip/JSON parse +
         # bounded buffering in C++ worker threads (fsmol_queue_*), the
         # Python side only samples/packs episodes from parsed tasks.
+        # (Dense-layout streams go through the path-based reader below
+        # instead: the pack cache makes revisits parse-free, and the
+        # queue would re-parse every visit — the single host core's
+        # dominant cost.)
         paths = dataset.get_fold_paths(fold, shard)
 
         def native_queue_stream():
@@ -298,7 +327,23 @@ def _device_batch_pipeline(
             except pyqueue.Full:
                 continue
 
-    def worker():
+    # Two pipeline threads: the assembler's numpy work holds the (single)
+    # host core while the uploader's device_put mostly waits on the
+    # tunnel network (GIL released) — overlapping them hides the smaller
+    # of the two behind the larger. Measured on adkf-train at bench
+    # shapes: host chain ~0.55 s + transfer ~0.34 s serialized in one
+    # thread capped training at ~1.1 steps/s with the device at ~0.5 s.
+    hq: "pyqueue.Queue" = pyqueue.Queue(maxsize=max(1, depth))
+
+    def blocking_put_to(q, item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return
+            except pyqueue.Full:
+                continue
+
+    def assembler():
         sentinel = None  # StopIteration -> None; error -> the exception
         try:
             while not stop.is_set():
@@ -306,18 +351,35 @@ def _device_batch_pipeline(
                 batch = stack_episodes(episodes)
                 if compress:
                     batch = codec.compress(batch)
-                batch = shard_batch(batch) if shard_batch is not None else jax.device_put(batch)
-                blocking_put(batch)
+                blocking_put_to(hq, batch)
         except StopIteration:
             pass
         except Exception as e:  # noqa: BLE001 — re-raised in next_batch
-            logger.exception("prefetch worker failed")
+            logger.exception("prefetch assembler failed")
+            sentinel = e
+        finally:
+            blocking_put_to(hq, sentinel)
+
+    def uploader():
+        sentinel = None
+        try:
+            while not stop.is_set():
+                item = hq.get()
+                if item is None or isinstance(item, Exception):
+                    sentinel = item
+                    return
+                batch = (
+                    shard_batch(item) if shard_batch is not None else jax.device_put(item)
+                )
+                blocking_put(batch)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("prefetch uploader failed")
             sentinel = e
         finally:
             blocking_put(sentinel)
 
-    thread = threading.Thread(target=worker, daemon=True, name="device-prefetch")
-    thread.start()
+    threading.Thread(target=assembler, daemon=True, name="batch-assembler").start()
+    threading.Thread(target=uploader, daemon=True, name="device-uploader").start()
 
     def next_batch():
         item = out.get()
