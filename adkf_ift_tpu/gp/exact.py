@@ -57,17 +57,12 @@ class GPPosterior(NamedTuple):
 
 
 def _chol(mat: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    # XLA's cholesky everywhere: a blocked Pallas kernel was measured
+    # statistically TIED with it at the BO support sizes (512/1024) it
+    # was written for and VMEM-bound above (docs/CHOLESKY_BENCH.md), so
+    # it was removed rather than kept as dead weight (VERDICT r1 item 5).
     n = mat.shape[-1]
-    a = mat + jitter * jnp.eye(n, dtype=mat.dtype)
-    if mat.ndim == 2:
-        # Large-support route (BO fits 512+ points, ref bo_utils.py:342-397):
-        # single-kernel blocked Pallas Cholesky on TPU above MIN_PALLAS_DIM,
-        # identical jnp.linalg.cholesky below it / off-TPU (the FS-Mol
-        # training/eval regime, support <= 256, always takes that branch).
-        from adkf_ift_tpu.ops.pallas.cholesky import blocked_cholesky
-
-        return blocked_cholesky(a)
-    return jnp.linalg.cholesky(a)
+    return jnp.linalg.cholesky(mat + jitter * jnp.eye(n, dtype=mat.dtype))
 
 
 def _train_covariance(
