@@ -66,7 +66,13 @@ def main():
     fs, fq, ys, yq = map(jnp.asarray, (fs, fq, ys, yq))
 
     cfg = ExactGPConfig(kernel=KernelConfig(ard_dims=d))
-    opt = LBFGSConfig(max_iters=args.iters, history=10, method="lbfgs")
+    opt = LBFGSConfig(max_iters=args.iters, history=24, method="lbfgs")
+    # LogNormal lengthscale prior anchored at the median heuristic — the
+    # real training configuration (models/adkf._gp_init). Without it the
+    # fully-converged unregularized ARD MLE on 64 points in 2048 dims is
+    # degenerate: ALL lengthscales -> ~1e4 (constant-GP solution).
+    from adkf_ift_tpu.gp.priors import mode_to_loc
+    ls_loc_of = lambda f: mode_to_loc(median_lengthscale_init(f))
 
     def init_flat(fs):
         p = init_raw_params(cfg.kernel)
@@ -79,9 +85,9 @@ def main():
 
     @jax.jit
     def fit(fs, ys):
-        return fit_gp_implicit(cfg, opt, False, fs, ys, init_flat(fs), None, None)
+        return fit_gp_implicit(cfg, opt, False, fs, ys, init_flat(fs), None, ls_loc_of(fs))
 
-    inner = make_inner_loss(cfg, fs, ys, None, None)
+    inner = make_inner_loss(cfg, fs, ys, None, ls_loc_of(fs))
     g0 = float(jnp.linalg.norm(jax.grad(inner)(init_flat(fs))))
 
     flat = fit(fs, ys)
@@ -106,7 +112,7 @@ def main():
 
     # IFT hypergradient wrt features via CG on HVPs (dims > 64 route).
     def outer(fs):
-        flat = fit_gp_implicit(cfg, opt, False, fs, ys, init_flat(fs), None, None)
+        flat = fit_gp_implicit(cfg, opt, False, fs, ys, init_flat(fs), None, ls_loc_of(fs))
         return predictive_nll(
             cfg, unflatten_gp_params(cfg.kernel, flat), fs, ys, fq, yq
         )
