@@ -13,8 +13,10 @@ from adkf_ift_tpu.gp.exact import (
 from adkf_ift_tpu.gp.fit import (
     LBFGSConfig,
     LBFGSResult,
+    ard_warmstart_init,
     fit_gp,
     flatten_gp_params,
+    isotropic_config,
     lbfgs_minimize,
     minimize,
     newton_minimize,
@@ -42,7 +44,9 @@ __all__ = [
     "LBFGSConfig",
     "LBFGSResult",
     "NOISE_LOWER_BOUND",
+    "ard_warmstart_init",
     "fit_gp",
+    "isotropic_config",
     "fit_gp_implicit",
     "flatten_gp_params",
     "init_raw_params",

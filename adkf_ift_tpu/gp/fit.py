@@ -363,3 +363,65 @@ def fit_gp(
     loss = make_inner_loss(config, x, y, mask, lengthscale_prior_loc)
     result = minimize(loss, init_flat, optimizer)
     return result.x, result
+
+
+def isotropic_config(config: ExactGPConfig) -> ExactGPConfig:
+    """The same GP with a single shared lengthscale (ard_dims=None)."""
+    from dataclasses import replace
+
+    return replace(config, kernel=replace(config.kernel, ard_dims=None))
+
+
+def ard_warmstart_init(
+    config: ExactGPConfig,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    init_flat: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    lengthscale_prior_loc: Optional[jnp.ndarray] = None,
+    optimizer: Optional[LBFGSConfig] = None,
+) -> jnp.ndarray:
+    """Two-stage ARD initialization: minimize the FULL ARD objective
+    restricted to the isotropic subspace (all lengthscales tied to one
+    scalar) with a few saddle-free Newton iterations, then release the
+    tie. Because the subspace contains the cold init and the line search
+    only accepts decreases, loss(warm) <= loss(init) by construction —
+    the subsequent ARD L-BFGS starts with the scalar hyperparameters
+    near-optimal and only has to differentiate lengthscales ACROSS dims
+    (tests/test_gp_fit.py::test_ard_warmstart_matches_full_budget).
+
+    The pre-fit runs on stop_gradient'ed inputs and its output is
+    detached: theta* gradients flow through the IFT custom_vjp
+    (gp/ift.py), never through the optimizer trajectory, so the warm
+    start must not open an unrolled-scan backward.
+
+    Reference parity note: gpytorch ARD fits (fs_mol/models/adaptive_dkt.py
+    ARD configs via gp_utils.py:7-49) hand scipy L-BFGS-B the cold init
+    and let its adaptive line search cope; a fixed-budget compiled
+    optimizer benefits from the staging instead.
+    """
+    if not config.kernel.has_lengthscale or not config.kernel.ard_dims:
+        return init_flat
+    iso_kernel = isotropic_config(config).kernel
+    x_d = jax.lax.stop_gradient(x)
+    y_d = jax.lax.stop_gradient(y)
+    ard_loss = make_inner_loss(config, x_d, y_d, mask, lengthscale_prior_loc)
+    ard_params = unflatten_gp_params(config.kernel, jax.lax.stop_gradient(init_flat))
+    ls_shape = jnp.shape(ard_params["raw_lengthscale"])
+
+    def embed(flat_iso: jnp.ndarray) -> jnp.ndarray:
+        p = unflatten_gp_params(iso_kernel, flat_iso)
+        p["raw_lengthscale"] = jnp.broadcast_to(p["raw_lengthscale"], ls_shape)
+        return flatten_gp_params(config.kernel, p)
+
+    iso_init = flatten_gp_params(
+        iso_kernel,
+        {**ard_params, "raw_lengthscale": jnp.mean(ard_params["raw_lengthscale"])},
+    )
+    pre_opt = optimizer or LBFGSConfig(method="newton", newton_iters=8)
+    result = minimize(lambda t: ard_loss(embed(t)), iso_init, pre_opt)
+    # Reject a failed pre-fit (non-finite escape / worse than cold): keep
+    # the cold init.
+    improved = result.value <= ard_loss(jax.lax.stop_gradient(init_flat))
+    warm = jnp.where(improved, embed(result.x), init_flat)
+    return jax.lax.stop_gradient(warm)

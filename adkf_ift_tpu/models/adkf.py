@@ -33,6 +33,7 @@ from adkf_ift_tpu.gp import (
     GPPriorConfig,
     KernelConfig,
     LBFGSConfig,
+    ard_warmstart_init,
     fit_gp_implicit,
     flatten_gp_params,
     init_raw_params,
@@ -57,6 +58,11 @@ class ADKFModelConfig:
     ignore_grad_correction: bool = False  # ADKF first-order ablation
     inner_optimizer: LBFGSConfig = field(default_factory=LBFGSConfig)
     jitter: float = 1e-5
+    # ARD only: pre-fit the 3-parameter isotropic problem (damped Newton)
+    # and broadcast its optimum into the 2050-dim ARD init — the ARD
+    # L-BFGS then needs ~half the iterations for the same optima
+    # (gp/fit.ard_warmstart_init).
+    ard_isotropic_warmstart: bool = True
 
     def __post_init__(self):
         if self.gp_kernel == "cossim" and not self.features.normalize_output:
@@ -126,6 +132,15 @@ def inner_fit(
 ) -> jnp.ndarray:
     """Fit GP hyperparameters on the support set; differentiable via IFT."""
     init_flat, ls_loc = _gp_init(config, support_features)
+    if config.use_ard and config.ard_isotropic_warmstart:
+        init_flat = ard_warmstart_init(
+            config.gp_config,
+            jax.lax.stop_gradient(support_features),
+            support_labels,
+            init_flat,
+            support_mask,
+            ls_loc,
+        )
     return fit_gp_implicit(
         config.gp_config,
         config.inner_optimizer,

@@ -276,10 +276,15 @@ def _device_batch_pipeline(
     compress: bool,
     depth: int,
     sparse_fp_budget: int = 0,
+    stats: Optional[dict] = None,
 ):
     """Background thread: stack + (optionally) compress + device_put the
     next `depth` batches so the host->device transfer overlaps the
-    running step. Returns (next_fn, stop_fn)."""
+    running step. Returns (next_fn, stop_fn).
+
+    `stats`, when given, accumulates wall-clock per pipeline stage
+    (episodes_s / stack_compress_s / upload_s / batches) for profiling
+    (benchmarks/train_pipeline_profile.py)."""
     import queue as pyqueue
     import threading
 
@@ -347,10 +352,18 @@ def _device_batch_pipeline(
         sentinel = None  # StopIteration -> None; error -> the exception
         try:
             while not stop.is_set():
+                t0 = time.perf_counter()
                 episodes = normalize_fp([next(stream) for _ in range(tasks_per_batch)])
+                t1 = time.perf_counter()
                 batch = stack_episodes(episodes)
                 if compress:
                     batch = codec.compress(batch)
+                if stats is not None:
+                    stats["episodes_s"] = stats.get("episodes_s", 0.0) + (t1 - t0)
+                    stats["stack_compress_s"] = stats.get("stack_compress_s", 0.0) + (
+                        time.perf_counter() - t1
+                    )
+                    stats["batches"] = stats.get("batches", 0) + 1
                 blocking_put_to(hq, batch)
         except StopIteration:
             pass
@@ -368,9 +381,14 @@ def _device_batch_pipeline(
                 if item is None or isinstance(item, Exception):
                     sentinel = item
                     return
+                t0 = time.perf_counter()
                 batch = (
                     shard_batch(item) if shard_batch is not None else jax.device_put(item)
                 )
+                if stats is not None:
+                    stats["upload_s"] = stats.get("upload_s", 0.0) + (
+                        time.perf_counter() - t0
+                    )
                 blocking_put(batch)
         except Exception as e:  # noqa: BLE001
             logger.exception("prefetch uploader failed")

@@ -162,3 +162,45 @@ def test_newton_matches_lbfgs_optimum():
     np.testing.assert_allclose(np.asarray(res_n.x), np.asarray(res_l.x), rtol=0.05, atol=0.05)
     # Quadratic convergence: far fewer iterations than L-BFGS.
     assert int(res_n.iterations) <= 20
+
+
+def test_ard_warmstart_matches_full_budget():
+    """Two-stage ARD init (gp/fit.ard_warmstart_init): the isotropic
+    Newton pre-fit must (a) strictly improve the starting loss, and
+    (b) let HALF the L-BFGS budget reach at least the loss a cold start
+    reaches with the full budget."""
+    from adkf_ift_tpu.gp import ard_warmstart_init, minimize
+
+    rng = np.random.RandomState(3)
+    n, d = 40, 16
+    x_np = rng.randn(n, d).astype(np.float32)
+    y_np = np.tanh(x_np[:, 0] + 0.5 * x_np[:, 1]) + 0.05 * rng.randn(n)
+    x = jnp.asarray(x_np)
+    y = jnp.asarray((y_np - y_np.mean()).astype(np.float32))
+
+    cfg = ExactGPConfig(
+        kernel=KernelConfig("matern", ard_dims=d),
+        priors=GPPriorConfig(noise_mode=0.1, use_lengthscale_prior=True),
+    )
+    med = median_lengthscale_init(x)
+    ls_loc = mode_to_loc(med)
+    params = init_raw_params(cfg.kernel)
+    params["raw_noise"] = noise_to_raw(jnp.asarray(0.1))
+    params["raw_lengthscale"] = positive_to_raw(
+        jnp.broadcast_to(med, jnp.shape(params["raw_lengthscale"]))
+    )
+    init = flatten_gp_params(cfg.kernel, params)
+
+    loss = make_inner_loss(cfg, x, y, lengthscale_prior_loc=ls_loc)
+    warm = jax.jit(
+        lambda i: ard_warmstart_init(cfg, x, y, i, None, ls_loc)
+    )(init)
+    assert warm.shape == init.shape
+    assert float(loss(warm)) < float(loss(init)) - 1e-3
+
+    cold_full = minimize(loss, init, LBFGSConfig(max_iters=24, history=8))
+    warm_half = minimize(loss, warm, LBFGSConfig(max_iters=12, history=8))
+    assert float(warm_half.value) <= float(cold_full.value) + 1e-3, (
+        float(warm_half.value),
+        float(cold_full.value),
+    )
