@@ -102,12 +102,15 @@ def main():
     use_ard = os.environ.get("BENCH_ARD", "0") == "1"
     if use_ard:
         inner_method = os.environ.get("BENCH_INNER", "lbfgs")
+    inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "48"))
     config = adkf.ADKFModelConfig(
         # Damped Newton on the 3-param non-ARD inner problem reaches the
         # same optima as L-BFGS (tests/test_gp_fit.py) in ~1/3 the
         # iterations and ~1/10 the sequential ops.
-        inner_optimizer=LBFGSConfig(max_iters=48, history=8, method=inner_method),
+        inner_optimizer=LBFGSConfig(max_iters=inner_iters, history=8, method=inner_method),
         use_ard=use_ard,
+        # BENCH_ARD_WARMSTART=0 disables the isotropic subspace pre-fit.
+        ard_isotropic_warmstart=os.environ.get("BENCH_ARD_WARMSTART", "1") == "1",
         **({"features": features_cfg} if features_cfg is not None else {}),
     )
 

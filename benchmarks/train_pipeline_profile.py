@@ -86,13 +86,17 @@ def main():
             )
         ),
     )
+    # Bench-matching budgets (bench.py defaults): the synthetic molecules
+    # average 24 nodes, and VMEM caps the fused MP kernel's block size —
+    # the CLI-default 48-node/ (8,6,6)-slot budgets OOM scoped VMEM at
+    # block_graphs=8.
     spec = EpisodeSpec(
         support_size=args.support,
         query_size=args.query,
-        nodes_per_graph=48,
-        edges_per_graph=(80, 32, 16),
+        nodes_per_graph=32,
+        edges_per_graph=(56, 16, 8),
     )
-    transform = functools.partial(episode_to_dense, nodes_per_graph=48, k_per_type=(8, 6, 6))
+    transform = functools.partial(episode_to_dense, nodes_per_graph=40, k_per_type=(6, 4, 3))
 
     def make_stream():
         return episode_stream(
@@ -107,7 +111,7 @@ def main():
 
     probe = next(episode_stream(dataset, DataFold.TRAIN, spec, repeat=True, num_workers=0,
                                 episode_transform=transform))
-    params = adkf.init_encoder_params(config, jax.random.PRNGKey(0), probe)
+    params = adkf.init_encoder_params(config, jax.random.PRNGKey(0), probe.support)
     optimizer = make_optimizer(1e-4, clip_value=1.0)
     step_fn = make_meta_train_step(
         lambda p, e: adkf.episode_outer_loss(config, p, e),
