@@ -103,14 +103,20 @@ def main():
     if use_ard:
         inner_method = os.environ.get("BENCH_INNER", "lbfgs")
     inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "48"))
+    newton_iters = int(os.environ.get("BENCH_NEWTON_ITERS", "16"))
     config = adkf.ADKFModelConfig(
         # Damped Newton on the 3-param non-ARD inner problem reaches the
         # same optima as L-BFGS (tests/test_gp_fit.py) in ~1/3 the
         # iterations and ~1/10 the sequential ops.
-        inner_optimizer=LBFGSConfig(max_iters=inner_iters, history=8, method=inner_method),
+        inner_optimizer=LBFGSConfig(
+            max_iters=inner_iters, history=8, method=inner_method, newton_iters=newton_iters
+        ),
         use_ard=use_ard,
         # BENCH_ARD_WARMSTART=0 disables the isotropic subspace pre-fit.
         ard_isotropic_warmstart=os.environ.get("BENCH_ARD_WARMSTART", "1") == "1",
+        # Diagnostic: BENCH_FIRST_ORDER=1 drops the IFT correction (the
+        # ADKF ablation) — used to attribute the backward's f64 share.
+        ignore_grad_correction=os.environ.get("BENCH_FIRST_ORDER", "0") == "1",
         **({"features": features_cfg} if features_cfg is not None else {}),
     )
 
