@@ -50,9 +50,10 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     )
     parser.add_argument("--inner-max-iters", type=int, default=64, help="Inner L-BFGS iterations.")
     parser.add_argument(
-        "--inner-method", type=str, default=None, choices=[None, "lbfgs", "newton"],
-        help="Inner optimizer; default: newton for non-ARD (fewer sequential "
-        "ops, same optima), lbfgs for ARD.",
+        "--inner-method", type=str, default="auto", choices=["auto", "lbfgs", "newton"],
+        help="Inner optimizer; 'auto' (the library + bench default) picks "
+        "saddle-free Newton for non-ARD (fewer sequential ops, same optima) "
+        "and L-BFGS for ARD-width problems.",
     )
     return parser.parse_args(argv)
 
@@ -70,7 +71,7 @@ def main(argv=None):
         ignore_grad_correction=args.ignore_grad_correction,
         inner_optimizer=LBFGSConfig(
             max_iters=args.inner_max_iters,
-            method=args.inner_method or ("lbfgs" if args.use_ard else "newton"),
+            method=args.inner_method,
         ),
     )
     run_episodic_training(

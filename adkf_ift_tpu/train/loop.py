@@ -269,6 +269,33 @@ def episode_stream(
     )
 
 
+def normalize_fp(episodes):
+    """A batch that mixes SparseCounts and dense fingerprint episodes
+    (a slow-path fallback amid wire-ready ones) cannot stack; densify
+    the sparse minority so the codec re-decides uniformly."""
+    from adkf_ift_tpu.utils.wire import SparseCounts, densify_counts_host
+
+    def has_sparse(ep):
+        return isinstance(ep.support.fingerprints, SparseCounts)
+
+    kinds = {has_sparse(ep) for ep in episodes}
+    if len(kinds) <= 1:
+        return episodes
+    return [
+        ep._replace(
+            support=ep.support._replace(
+                fingerprints=densify_counts_host(ep.support.fingerprints)
+            ),
+            query=ep.query._replace(
+                fingerprints=densify_counts_host(ep.query.fingerprints)
+            ),
+        )
+        if has_sparse(ep)
+        else ep
+        for ep in episodes
+    ]
+
+
 def _device_batch_pipeline(
     stream: Iterator[Episode],
     tasks_per_batch: int,
@@ -284,44 +311,20 @@ def _device_batch_pipeline(
 
     `stats`, when given, accumulates wall-clock per pipeline stage
     (episodes_s / stack_compress_s / upload_s / batches) for profiling
-    (benchmarks/train_pipeline_profile.py)."""
+    (benchmarks/train_pipeline_profile.py); read it only after stop_fn
+    returns — stop_fn joins both threads, so the dict is quiescent."""
     import queue as pyqueue
     import threading
 
     import jax
 
-    from adkf_ift_tpu.utils.wire import SparseCounts, WireCodec, densify_counts_host
+    from adkf_ift_tpu.utils.wire import WireCodec
 
     out: "pyqueue.Queue" = pyqueue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
     # Stable per-leaf dtype schema across the whole run: a batch-dependent
     # signature would recompile the step mid-training (ADVICE r1).
     codec = WireCodec(sparse_counts_budget=sparse_fp_budget)
-
-    def normalize_fp(episodes):
-        """A batch that mixes SparseCounts and dense fingerprint episodes
-        (a slow-path fallback amid wire-ready ones) cannot stack; densify
-        the sparse minority so the codec re-decides uniformly."""
-
-        def has_sparse(ep):
-            return isinstance(ep.support.fingerprints, SparseCounts)
-
-        kinds = {has_sparse(ep) for ep in episodes}
-        if len(kinds) <= 1:
-            return episodes
-        return [
-            ep._replace(
-                support=ep.support._replace(
-                    fingerprints=densify_counts_host(ep.support.fingerprints)
-                ),
-                query=ep.query._replace(
-                    fingerprints=densify_counts_host(ep.query.fingerprints)
-                ),
-            )
-            if has_sparse(ep)
-            else ep
-            for ep in episodes
-        ]
 
     def blocking_put(item):
         """Stop-aware put that never silently drops `item`."""
@@ -377,7 +380,13 @@ def _device_batch_pipeline(
         sentinel = None
         try:
             while not stop.is_set():
-                item = hq.get()
+                try:
+                    # Timeout so a stop() with an idle assembler can't
+                    # leave this thread parked on get() forever (stop_fn
+                    # joins both threads).
+                    item = hq.get(timeout=0.2)
+                except pyqueue.Empty:
+                    continue
                 if item is None or isinstance(item, Exception):
                     sentinel = item
                     return
@@ -396,8 +405,12 @@ def _device_batch_pipeline(
         finally:
             blocking_put(sentinel)
 
-    threading.Thread(target=assembler, daemon=True, name="batch-assembler").start()
-    threading.Thread(target=uploader, daemon=True, name="device-uploader").start()
+    threads = [
+        threading.Thread(target=assembler, daemon=True, name="batch-assembler"),
+        threading.Thread(target=uploader, daemon=True, name="device-uploader"),
+    ]
+    for t in threads:
+        t.start()
 
     def next_batch():
         item = out.get()
@@ -407,13 +420,25 @@ def _device_batch_pipeline(
             raise item
         return item
 
-    def stop_fn():
-        stop.set()
+    def _drain(q):
         try:
             while True:
-                out.get_nowait()
+                q.get_nowait()
         except pyqueue.Empty:
             pass
+
+    def stop_fn():
+        stop.set()
+        # Drain so threads blocked on a full queue observe the stop flag,
+        # then join (bounded) so `stats` is quiescent when we return.
+        deadline = time.perf_counter() + 10.0
+        for t in threads:
+            while t.is_alive() and time.perf_counter() < deadline:
+                _drain(hq)
+                _drain(out)
+                t.join(timeout=0.2)
+        _drain(hq)
+        _drain(out)
 
     return next_batch, stop_fn
 

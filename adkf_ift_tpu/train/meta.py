@@ -48,37 +48,14 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> MetaTra
     return MetaTrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_meta_train_step(
-    episode_loss_fn: Callable[[dict, Episode], jnp.ndarray],
-    optimizer: optax.GradientTransformation,
-    mesh: Optional[Mesh] = None,
-    donate_state: bool = True,
-    task_chunk: Optional[int] = None,
-    remat: bool = True,
-    batch_loss_fn: Optional[Callable[[dict, Episode], jnp.ndarray]] = None,
-) -> Callable[[MetaTrainState, Episode], Tuple[MetaTrainState, jnp.ndarray]]:
-    """Build the jitted outer step.
-
-    episode_loss_fn(params, episode) -> scalar loss for ONE episode.
-    The returned step takes a STACKED episode batch (leading task axis)
-    and returns (new_state, per-task losses).
-
-    Memory controls (the full-size encoder at query 256 does not fit 16
-    concurrent task backwards in one chip's HBM):
-      * remat: `jax.checkpoint` the per-episode loss — backward recomputes
-        encoder activations instead of storing them for every task.
-      * task_chunk: gradient-accumulate over `lax.scan` chunks of the
-        task axis (the compiled analogue of the reference's sequential
-        16-task accumulation, adaptive_dkt_utils.py:361-403). Peak
-        activation memory scales with task_chunk, not batch size.
-        With a mesh, task_chunk counts tasks per scan step GLOBALLY and
-        must be a multiple of the mesh size.
-      * batch_loss_fn(params, stacked_episodes) -> per-task losses [C]:
-        models that flatten the chunk into one mega-graph (e.g.
-        adkf.batch_outer_loss) avoid batch dims on the encoder's
-        gathers/scatters — substantially faster than vmapping
-        episode_loss_fn on TPU.
-    """
+def _make_accumulate(
+    episode_loss_fn: Optional[Callable],
+    remat: bool,
+    batch_loss_fn: Optional[Callable],
+) -> Callable:
+    """accumulate(params, episode_batch, chunk_size) -> (summed grads,
+    per-task losses). The shared core of make_meta_train_step and
+    make_meta_grads_fn."""
     if batch_loss_fn is not None:
         chunk_losses = jax.checkpoint(batch_loss_fn) if remat else batch_loss_fn
     else:
@@ -116,6 +93,42 @@ def make_meta_train_step(
         zero = jax.tree.map(jnp.zeros_like, params)
         grad_sum, losses = jax.lax.scan(body, zero, chunked)
         return grad_sum, losses.reshape((n_tasks,))
+
+    return accumulate
+
+
+def make_meta_train_step(
+    episode_loss_fn: Callable[[dict, Episode], jnp.ndarray],
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate_state: bool = True,
+    task_chunk: Optional[int] = None,
+    remat: bool = True,
+    batch_loss_fn: Optional[Callable[[dict, Episode], jnp.ndarray]] = None,
+) -> Callable[[MetaTrainState, Episode], Tuple[MetaTrainState, jnp.ndarray]]:
+    """Build the jitted outer step.
+
+    episode_loss_fn(params, episode) -> scalar loss for ONE episode.
+    The returned step takes a STACKED episode batch (leading task axis)
+    and returns (new_state, per-task losses).
+
+    Memory controls (the full-size encoder at query 256 does not fit 16
+    concurrent task backwards in one chip's HBM):
+      * remat: `jax.checkpoint` the per-episode loss — backward recomputes
+        encoder activations instead of storing them for every task.
+      * task_chunk: gradient-accumulate over `lax.scan` chunks of the
+        task axis (the compiled analogue of the reference's sequential
+        16-task accumulation, adaptive_dkt_utils.py:361-403). Peak
+        activation memory scales with task_chunk, not batch size.
+        With a mesh, task_chunk counts tasks per scan step GLOBALLY and
+        must be a multiple of the mesh size.
+      * batch_loss_fn(params, stacked_episodes) -> per-task losses [C]:
+        models that flatten the chunk into one mega-graph (e.g.
+        adkf.batch_outer_loss) avoid batch dims on the encoder's
+        gathers/scatters — substantially faster than vmapping
+        episode_loss_fn on TPU.
+    """
+    accumulate = _make_accumulate(episode_loss_fn, remat, batch_loss_fn)
 
     def apply_update(state, grads, losses, n_tasks):
         grads = jax.tree.map(lambda g: g / n_tasks, grads)
@@ -176,4 +189,69 @@ def make_meta_train_step(
         in_shardings=(state_sharding, episode_batch_sharding(mesh)),
         out_shardings=(state_sharding, episode_batch_sharding(mesh)),
         donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def make_meta_grads_fn(
+    episode_loss_fn: Optional[Callable[[dict, Episode], jnp.ndarray]] = None,
+    mesh: Optional[Mesh] = None,
+    task_chunk: Optional[int] = None,
+    remat: bool = True,
+    batch_loss_fn: Optional[Callable[[dict, Episode], jnp.ndarray]] = None,
+) -> Callable[[dict, Episode], Tuple[dict, jnp.ndarray]]:
+    """Jitted (params, episode_batch) -> (MEAN grads, per-task losses).
+
+    Optimizer-free twin of make_meta_train_step, sharing _make_accumulate
+    and the identical shard_map/psum structure. Exists so the multi-chip
+    equivalence tests (and __graft_entry__.dryrun_multichip) can assert
+    the mesh psum path is numerically 1:1 with the single-device step —
+    Adam normalizes away gradient SCALE, so a psum that over-counts by
+    n_devices would be invisible in an optimizer-trajectory comparison
+    (SURVEY.md §2.9: the psum accumulation replaces
+    adaptive_dkt_utils.py:361-403 1:1 and must match it numerically).
+    """
+    accumulate = _make_accumulate(episode_loss_fn, remat, batch_loss_fn)
+    from adkf_ift_tpu.utils.wire import decompress_batch
+
+    if mesh is None:
+
+        def grads_fn(params, episode_batch):
+            episode_batch = decompress_batch(episode_batch)
+            n_tasks = jax.tree.leaves(episode_batch)[0].shape[0]
+            grads, losses = accumulate(params, episode_batch, task_chunk)
+            return jax.tree.map(lambda g: g / n_tasks, grads), losses
+
+        return jax.jit(grads_fn)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from adkf_ift_tpu.parallel.mesh import TASK_AXIS
+
+    def sharded_grads(params, episode_batch):
+        n_tasks = jax.tree.leaves(episode_batch)[0].shape[0]
+        n_devices = mesh.shape[TASK_AXIS]
+        local_chunk = None
+        if task_chunk is not None:
+            local_chunk = max(task_chunk // n_devices, 1)
+
+        def device_fn(params, local_batch):
+            local_batch = decompress_batch(local_batch)
+            grads, losses = accumulate(params, local_batch, local_chunk)
+            grads = jax.lax.psum(grads, TASK_AXIS)
+            return grads, losses
+
+        grads, losses = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(), P(TASK_AXIS)),
+            out_specs=(P(), P(TASK_AXIS)),
+            check_vma=False,
+        )(params, episode_batch)
+        return jax.tree.map(lambda g: g / n_tasks, grads), losses
+
+    return jax.jit(
+        sharded_grads,
+        in_shardings=(replicated_sharding(mesh), episode_batch_sharding(mesh)),
+        out_shardings=(replicated_sharding(mesh), episode_batch_sharding(mesh)),
     )

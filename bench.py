@@ -62,7 +62,10 @@ def main():
     query = int(os.environ.get("BENCH_QUERY", "256"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    inner_method = os.environ.get("BENCH_INNER", "newton")
+    # "auto" = the library default (LBFGSConfig.method): saddle-free Newton
+    # on the 3-param non-ARD inner problem, L-BFGS for ARD width — so the
+    # measured bench configuration IS what a user gets out of the box.
+    inner_method = os.environ.get("BENCH_INNER", "auto")
     # Default path: dense-block layout + fused Pallas MP kernel
     # (ops/pallas/message_passing.py) — measured 2.3x faster than the
     # flat XLA MP stack per layer (benchmarks/pallas_mp_bench.py) and
@@ -100,8 +103,6 @@ def main():
     # (one lengthscale per encoder output dim => ~2050 inner params;
     # L-BFGS + CG-on-HVP IFT instead of damped Newton + dense solve).
     use_ard = os.environ.get("BENCH_ARD", "0") == "1"
-    if use_ard:
-        inner_method = os.environ.get("BENCH_INNER", "lbfgs")
     inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "48"))
     newton_iters = int(os.environ.get("BENCH_NEWTON_ITERS", "16"))
     config = adkf.ADKFModelConfig(

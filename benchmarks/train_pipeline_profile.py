@@ -62,7 +62,7 @@ def main():
     from adkf_ift_tpu.modules.encoder import CombinedFeatureConfig, GraphFeatureExtractorConfig
     from adkf_ift_tpu.modules.gnn import GNNConfig
     from adkf_ift_tpu.ops.dense_block import episode_to_dense
-    from adkf_ift_tpu.train.loop import _device_batch_pipeline, episode_stream
+    from adkf_ift_tpu.train.loop import _device_batch_pipeline, episode_stream, normalize_fp
     from adkf_ift_tpu.train.meta import init_train_state, make_meta_train_step, make_optimizer
     from adkf_ift_tpu.utils.synthetic import make_task
 
@@ -111,7 +111,10 @@ def main():
 
     probe = next(episode_stream(dataset, DataFold.TRAIN, spec, repeat=True, num_workers=0,
                                 episode_transform=transform))
-    params = adkf.init_encoder_params(config, jax.random.PRNGKey(0), probe.support)
+    # Keep params as host arrays: the step is jitted with donate_argnums,
+    # so arm A's updates DELETE the device buffers inside its train state —
+    # arm B must rebuild its state from an undonated copy.
+    params = jax.tree.map(np.asarray, adkf.init_encoder_params(config, jax.random.PRNGKey(0), probe.support))
     optimizer = make_optimizer(1e-4, clip_value=1.0)
     step_fn = make_meta_train_step(
         lambda p, e: adkf.episode_outer_loss(config, p, e),
@@ -125,7 +128,9 @@ def main():
     from adkf_ift_tpu.utils.wire import WireCodec
 
     stream = make_stream()
-    episodes = [next(stream) for _ in range(args.tasks)]
+    # Same sparse/dense fingerprint normalization as the real pipeline so
+    # the resident batch takes the identical codec layout as arm B's.
+    episodes = normalize_fp([next(stream) for _ in range(args.tasks)])
     codec = WireCodec(sparse_counts_budget=192)
     resident = jax.device_put(codec.compress(stack_episodes(episodes)))
 

@@ -131,9 +131,29 @@ def test_fit_vmaps_over_tasks():
     thetas, values = jax.jit(jax.vmap(one))(xs, ys)
     assert thetas.shape == (4, 3)
     assert np.all(np.isfinite(np.asarray(values)))
-    # Each vmapped fit must equal the corresponding solo fit.
-    theta0, _ = jax.jit(one)(xs[0], ys[0])
-    assert np.allclose(np.asarray(thetas[0]), np.asarray(theta0), atol=1e-4)
+    # Each vmapped fit must reach the SAME OPTIMUM as the solo fit. Under
+    # the default (auto -> saddle-free Newton) the discrete branches
+    # (Armijo argmax, eigh) amplify batched-vs-solo f32 kernel noise into
+    # ~3e-3 theta slack along the optimum's flat directions, but the
+    # achieved VALUE agrees to float noise — assert value tightly, theta
+    # loosely here, and theta tightly under forced L-BFGS below.
+    theta0, value0 = jax.jit(one)(xs[0], ys[0])
+    assert np.allclose(float(values[0]), float(value0), rtol=1e-5, atol=1e-5)
+    assert np.allclose(np.asarray(thetas[0]), np.asarray(theta0), atol=2e-2)
+
+    def one_lbfgs(x, y):
+        med = median_lengthscale_init(x)
+        init = _default_init(cfg, x)
+        theta, res = fit_gp(
+            cfg, x, y, init,
+            lengthscale_prior_loc=mode_to_loc(med),
+            optimizer=LBFGSConfig(method="lbfgs"),
+        )
+        return theta, res.value
+
+    thetas_l, _ = jax.jit(jax.vmap(one_lbfgs))(xs, ys)
+    theta0_l, _ = jax.jit(one_lbfgs)(xs[0], ys[0])
+    assert np.allclose(np.asarray(thetas_l[0]), np.asarray(theta0_l), atol=1e-4)
 
 
 def test_newton_matches_lbfgs_optimum():
@@ -204,3 +224,31 @@ def test_ard_warmstart_matches_full_budget():
         float(warm_half.value),
         float(cold_full.value),
     )
+
+
+def test_default_method_is_auto_and_matches_bench():
+    """The library default must be the measured-best configuration
+    (VERDICT r2 weak #8): 'auto' resolves to saddle-free Newton for the
+    tiny non-ARD inner problem (what bench.py measures) and to L-BFGS at
+    ARD width (dense Hessians scale d^2)."""
+    cfg = LBFGSConfig()
+    assert cfg.method == "auto"
+    assert cfg.resolve_method(3) == "newton"  # non-ARD: noise/outputscale/ls
+    assert cfg.resolve_method(16) == "newton"
+    assert cfg.resolve_method(2052) == "lbfgs"  # full-width ARD
+    assert LBFGSConfig(method="lbfgs").resolve_method(3) == "lbfgs"
+    assert LBFGSConfig(method="newton").resolve_method(2052) == "newton"
+
+
+def test_minimize_auto_dispatches_newton_on_small_problem():
+    """minimize() under the default config must take the Newton path on a
+    small problem: newton_iters (not max_iters) bounds its iterations."""
+    from adkf_ift_tpu.gp.fit import minimize
+
+    def quad(x):
+        return jnp.sum((x - 1.5) ** 2)
+
+    # max_iters tiny, newton_iters generous: only the Newton path converges.
+    cfg = LBFGSConfig(max_iters=1, newton_iters=12)
+    res = minimize(quad, jnp.zeros(3), cfg)
+    np.testing.assert_allclose(np.asarray(res.x), 1.5, atol=1e-4)

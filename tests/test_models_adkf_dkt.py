@@ -162,6 +162,144 @@ def test_adkf_meta_train_step_on_mesh():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def _global_rel_diff(tree_a, tree_b):
+    """max over leaves of max|a-b|, normalized by the GLOBAL max|a|.
+
+    Per-leaf normalization is meaningless for leaves whose true gradient
+    is analytically ZERO — e.g. the final projection bias under a
+    stationary kernel (a uniform shift of every embedding leaves all
+    pairwise differences, hence the GP loss, unchanged), where both
+    sides hold pure f32 rounding noise and noise/noise is O(1)."""
+    a64 = [np.asarray(l, np.float64) for l in jax.tree.leaves(tree_a)]
+    b64 = [np.asarray(l, np.float64) for l in jax.tree.leaves(tree_b)]
+    scale = max(float(np.max(np.abs(l))) for l in a64)
+    diff = max(float(np.max(np.abs(x - y))) for x, y in zip(a64, b64))
+    return diff / (scale + 1e-12)
+
+
+def test_mesh_grads_equal_single_device():
+    """The 8-device mesh gradient must match the single-device gradient
+    on the same batch/params: the psum accumulation replaces the
+    reference's sequential accumulation (adaptive_dkt_utils.py:361-403)
+    1:1. Compared at the GRADIENT level because Adam is invariant to
+    gradient scale — a psum over-count by n_devices (rel diff ≈ 7/8)
+    would be invisible in an optimizer-trajectory check.
+
+    Tolerance note: chunk widths are matched (1 episode per accumulate
+    call on both paths) because ADKF's inner GP fit has discrete
+    branches (Armijo argmax, eigh) that chaotically amplify f32
+    reduction-order noise into ~1e-3 theta* differences across chunk
+    layouts; theta* value-level agreement stays ~1e-6 (see
+    test_fit_vmaps_over_tasks). The tight smooth-loss instrument is
+    test_mesh_grads_exact_dkt below."""
+    from adkf_ift_tpu.parallel.mesh import make_task_mesh, shard_episode_batch
+    from adkf_ift_tpu.train.meta import make_meta_grads_fn
+
+    mesh = make_task_mesh(jax.devices("cpu"))
+    cfg = adkf.ADKFModelConfig(features=_tiny_features(), inner_optimizer=_FAST_OPT)
+    eps = _episodes(8, seed0=40)
+    batch = stack_episodes(eps)
+    params = adkf.init_encoder_params(cfg, jax.random.PRNGKey(1), eps[0].support)
+
+    loss_fns = dict(
+        episode_loss_fn=lambda p, e: adkf.episode_outer_loss(cfg, p, e),
+        batch_loss_fn=lambda p, e: adkf.batch_outer_loss(cfg, p, e),
+        remat=False,
+    )
+    single_fn = make_meta_grads_fn(task_chunk=1, **loss_fns)
+    mesh_fn = make_meta_grads_fn(mesh=mesh, task_chunk=8, **loss_fns)
+
+    g_single, l_single = single_fn(params, batch)
+    with mesh:
+        g_mesh, l_mesh = mesh_fn(params, shard_episode_batch(mesh, batch))
+
+    np.testing.assert_allclose(
+        np.asarray(l_mesh), np.asarray(l_single), rtol=5e-3, atol=1e-4
+    )
+    rel = _global_rel_diff(g_single, g_mesh)
+    # A scaling bug (missing /n, double psum, dropped shard) shows as
+    # rel ≈ 0.875–7; inner-fit branch noise measures ~3e-3 on CPU.
+    assert rel < 2e-2, f"mesh grads diverge from single-device: global rel {rel}"
+
+
+def test_mesh_grads_exact_dkt():
+    """Tight mesh-equivalence instrument: DKT's joint -MLL has NO inner
+    optimization (no discrete branches), so the 8-device psum gradient
+    must equal the single-device gradient to float-noise level. Any
+    shard-spec/psum defect in train.meta's mesh path fails this at O(1)."""
+    from adkf_ift_tpu.parallel.mesh import make_task_mesh, shard_episode_batch
+    from adkf_ift_tpu.train.meta import make_meta_grads_fn
+
+    mesh = make_task_mesh(jax.devices("cpu"))
+    cfg = dkt.DKTModelConfig(features=_tiny_features())
+    eps = _episodes(8, seed0=40)
+    batch = stack_episodes(eps)
+    params = dkt.init_params(cfg, jax.random.PRNGKey(1), eps[0].support)
+
+    loss_fns = dict(
+        episode_loss_fn=lambda p, e: dkt.episode_loss(cfg, p, e),
+        batch_loss_fn=lambda p, e: dkt.batch_loss(cfg, p, e),
+        remat=False,
+    )
+    single_fn = make_meta_grads_fn(task_chunk=1, **loss_fns)
+    mesh_fn = make_meta_grads_fn(mesh=mesh, task_chunk=8, **loss_fns)
+
+    g_single, l_single = single_fn(params, batch)
+    with mesh:
+        g_mesh, l_mesh = mesh_fn(params, shard_episode_batch(mesh, batch))
+
+    np.testing.assert_allclose(
+        np.asarray(l_mesh), np.asarray(l_single), rtol=1e-5, atol=1e-6
+    )
+    rel = _global_rel_diff(g_single, g_mesh)
+    assert rel < 1e-4, f"mesh DKT grads diverge from single-device: global rel {rel}"
+
+
+def test_mesh_training_trajectory_matches_single():
+    """Short SGD run on the smooth DKT loss: the mesh trajectory must
+    track the unsharded trajectory step for step (SGD, not Adam —
+    scale-sensitive, so a mis-scaled psum shifts every step)."""
+    import optax
+
+    from adkf_ift_tpu.parallel.mesh import make_task_mesh, shard_episode_batch
+
+    mesh = make_task_mesh(jax.devices("cpu"))
+    cfg = dkt.DKTModelConfig(features=_tiny_features())
+    eps = _episodes(8, seed0=60)
+    batch = stack_episodes(eps)
+    params = dkt.init_params(cfg, jax.random.PRNGKey(2), eps[0].support)
+    params_host = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+
+    def run(mesh_or_none, batch_in, n_steps=10):
+        opt = optax.sgd(1e-3)
+        state = init_train_state(jax.tree.map(jnp.asarray, params_host), opt)
+        step_fn = make_meta_train_step(
+            lambda p, e: dkt.episode_loss(cfg, p, e),
+            opt,
+            mesh=mesh_or_none,
+            remat=False,
+            # Matched per-call widths (1 episode each side): a global
+            # chunk of 8 on the 8-device mesh is 1 local, vs chunk 1
+            # unsharded — identical flat-packed shapes, so the only
+            # remaining difference is psum-vs-scan summation order.
+            task_chunk=8 if mesh_or_none is not None else 1,
+            batch_loss_fn=lambda p, e: dkt.batch_loss(cfg, p, e),
+        )
+        traj = []
+        for _ in range(n_steps):
+            state, losses = step_fn(state, batch_in)
+            traj.append(float(jnp.mean(losses)))
+        return np.asarray(traj), jax.tree.map(np.asarray, state.params)
+
+    traj_single, params_single = run(None, batch)
+    with mesh:
+        traj_mesh, params_mesh = run(mesh, shard_episode_batch(mesh, batch))
+
+    np.testing.assert_allclose(traj_mesh, traj_single, rtol=1e-4, atol=1e-5)
+    rel = _global_rel_diff(params_single, params_mesh)
+    assert rel < 1e-4, f"mesh params drift from single-device run: {rel}"
+
+
 def test_adkf_regression_mode():
     cfg = adkf.ADKFModelConfig(
         features=_tiny_features(), use_numeric_labels=True, inner_optimizer=_FAST_OPT
