@@ -21,6 +21,7 @@ FEATURE_CHOICES = [
     "gnn+ecfp",
     "ecfp+fc",
     "pc-descs+fc",
+    "gnn+fc",
     "gnn+ecfp+fc",
     "gnn+ecfp+pc-descs+fc",
 ]

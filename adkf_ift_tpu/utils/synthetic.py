@@ -194,19 +194,61 @@ def make_teacher_task(
         )
     signals = np.asarray(signals)
     thresh = float(np.median(signals))
+    scale = float(signals.std()) or 1.0
     samples = []
     for mol, s in zip(mols, signals):
         label = bool(s > thresh)
         if rng.rand() < flip_prob:
             label = not label
+        # Numeric labels are LOG-NORMAL in the teacher signal (µ=ln 1000):
+        # the regression pipeline log-transforms + support-standardizes
+        # (data/episodes.build_episode, fs_mol/data/dkt.py:91-97 parity),
+        # which recovers the standardized teacher signal exactly; the
+        # lognormal spread also passes the reference's numeric-task filter
+        # (values positive, not all within [0, 100] —
+        # train/evaluation.is_valid_numeric_task).
+        z = (s - thresh) / scale + numeric_noise * rng.randn()
         samples.append(
             MoleculeDatapoint(
-                numeric_label=float(s - thresh + numeric_noise * rng.randn()),
+                numeric_label=float(1000.0 * np.exp(z)),
                 bool_label=label,
                 **mol,
             )
         )
     return Task(name, samples)
+
+
+def make_teacher_dataset_dir(
+    root: str,
+    num_train: int = 24,
+    num_valid: int = 6,
+    num_test: int = 16,
+    samples_per_task: int = 160,
+    seed: int = 0,
+) -> str:
+    """Write a TEACHER-GNN-family dataset in the FS-Mol directory layout
+    (train/valid/test of JSONL.gz task files) so every family's own
+    train/test CLI can run the full L1→L7 path on it.
+
+    Task seeds follow benchmarks/meta_gain.py's split convention
+    (train 100+, valid 5500+, test 9000+) so CLI-trained models are
+    directly comparable with the meta-gain arms. Fingerprints and
+    descriptors are per-molecule NOISE in this family — use
+    `--features gnn+fc` (see meta_gain.py's rationale: an fp channel
+    lets the encoder memorize molecule→label and collapse)."""
+    folds = (
+        ("train", num_train, "TR", 100),
+        ("valid", num_valid, "VA", 5500),
+        ("test", num_test, "TE", 9000),
+    )
+    for fold, count, prefix, base in folds:
+        os.makedirs(os.path.join(root, fold), exist_ok=True)
+        for i in range(count):
+            task = make_teacher_task(
+                f"{prefix}{i}", num_samples=samples_per_task, seed=base + seed + i
+            )
+            task.save_to_file(os.path.join(root, fold, f"{task.name}.jsonl.gz"))
+    return root
 
 
 def make_dataset_dir(

@@ -47,19 +47,24 @@ from adkf_ift_tpu.gp import LBFGSConfig
 from adkf_ift_tpu.models import adkf, dkt
 from adkf_ift_tpu.train.evaluators import make_predict_fn
 from adkf_ift_tpu.train.meta import init_train_state, make_meta_train_step, make_optimizer
-from adkf_ift_tpu.utils.metrics import compute_binary_task_metrics
+from adkf_ift_tpu.utils.metrics import (
+    compute_binary_task_metrics,
+    compute_numeric_task_metrics,
+)
 from adkf_ift_tpu.utils.synthetic import make_teacher_task
 
 
-def evaluate(predict, params, test_tasks, spec, num_samples=8):
-    """Keyed per-episode ΔAUPRC over held-out tasks.
+def evaluate(predict, params, test_tasks, spec, num_samples=8, regression=False):
+    """Keyed per-episode score over held-out tasks: ΔAUPRC for
+    classification, R² (out-of-sample, vs the SUPPORT mean — the
+    reference's r2_score_os protocol) for regression.
 
-    Returns {(task_name, run): delta}. Episodes are seeded identically
+    Returns {(task_name, run): score}. Episodes are seeded identically
     for every arm, so arms can be compared PAIRED per episode (the
     episode-difficulty variance cancels — same protocol as the
     reference's per-task paired comparisons in its plotting utils).
     Non-finite predictions (a diverged checkpoint) score as chance
-    (0.5) instead of crashing the experiment.
+    instead of crashing the experiment.
     """
     import gc
 
@@ -69,16 +74,25 @@ def evaluate(predict, params, test_tasks, spec, num_samples=8):
         gc.collect()  # the tunnel pins episode buffers until collected
         for run in range(num_samples):
             try:
-                ep = build_episode(sampler.sample(task, seed=5000 + run), spec)
+                ep = build_episode(
+                    sampler.sample(task, seed=5000 + run), spec, regression=regression
+                )
             except Exception:
                 continue
-            probs = np.asarray(predict(params, ep), np.float64)
-            if not np.isfinite(probs).all():
-                probs = np.nan_to_num(probs, nan=0.5, posinf=1.0, neginf=0.0)
+            preds = np.asarray(predict(params, ep), np.float64)
             qmask = np.asarray(ep.query.graph_mask) > 0
-            y = (np.asarray(ep.query_labels)[qmask] > 0).astype(np.float64)
-            m = compute_binary_task_metrics(probs[qmask], y)
-            deltas[(task.name, run)] = m.avg_precision - y.mean()
+            if regression:
+                if not np.isfinite(preds).all():
+                    preds = np.nan_to_num(preds, nan=0.0, posinf=0.0, neginf=0.0)
+                y = np.asarray(ep.query_numeric_labels, np.float64)[qmask]
+                m = compute_numeric_task_metrics(preds[qmask], y)
+                deltas[(task.name, run)] = m.r2
+            else:
+                if not np.isfinite(preds).all():
+                    preds = np.nan_to_num(preds, nan=0.5, posinf=1.0, neginf=0.0)
+                y = (np.asarray(ep.query_labels)[qmask] > 0).astype(np.float64)
+                m = compute_binary_task_metrics(preds[qmask], y)
+                deltas[(task.name, run)] = m.avg_precision - y.mean()
     return deltas
 
 
@@ -116,7 +130,7 @@ def train_arm(kind, config, loss_fns, fresh_params, episodes_for, steps,
             if validate is not None:
                 params_np = jax.tree.map(np.asarray, state.params)
                 val = float(np.mean(_vals(validate(params_np))))
-                msg += f" val dAUPRC {val:+.4f}"
+                msg += f" val score {val:+.4f}"
                 if val > best_val:
                     best_val, best_params = val, params_np
                     msg += " *best*"
@@ -156,10 +170,18 @@ def main():
     ap.add_argument("--features", type=str, default="gnn+fc")
     ap.add_argument("--arms", type=str, default="fresh,adkf_ift,adkf_fo,dkt")
     ap.add_argument("--out", type=str, default=None)
+    # Regression analogue (VERDICT r2 next-step #4): meta-train on the
+    # teacher family's LOG-NORMAL numeric labels (utils/synthetic) with
+    # use_numeric_labels configs and report paired R² (r2_score_os) gaps
+    # — the reference's regression results half (BASELINE.md §regression).
+    ap.add_argument("--regression", action="store_true")
     # Crash tolerance (the host OOM-killed a 4-arm run): per-episode
     # results persist per arm; a rerun skips completed arms.
-    ap.add_argument("--partial", type=str, default="/tmp/metagain_partial.json")
+    ap.add_argument("--partial", type=str, default=None)
     args = ap.parse_args()
+    suffix = "_reg" if args.regression else ""
+    if args.partial is None:
+        args.partial = f"/tmp/metagain_partial{suffix}.json"
 
     train_tasks = [
         make_teacher_task(f"TR{i}", num_samples=args.samples_per_task, seed=100 + i)
@@ -184,13 +206,19 @@ def main():
     # Pre-sample all training episodes host-side once (shared across arms
     # so every arm sees the identical stream).
     rng = np.random.RandomState(0)
-    probe = build_episode(sampler.sample(train_tasks[0], seed=0), spec)
+    probe = build_episode(
+        sampler.sample(train_tasks[0], seed=0), spec, regression=args.regression
+    )
+    metric_name = "R2_os" if args.regression else "ΔAUPRC"
 
     def episodes_for(step):
         r = np.random.RandomState(10_000 + step)
         picks = r.choice(len(train_tasks), size=args.tasks_per_batch, replace=False)
         eps = [
-            build_episode(sampler.sample(train_tasks[ti], seed=step * 31 + j), spec)
+            build_episode(
+                sampler.sample(train_tasks[ti], seed=step * 31 + j), spec,
+                regression=args.regression,
+            )
             for j, ti in enumerate(picks)
         ]
         return stack_episodes(eps)
@@ -198,11 +226,16 @@ def main():
     from adkf_ift_tpu.modules.encoder import CombinedFeatureConfig
 
     feats = CombinedFeatureConfig(used_features=args.features)
-    adkf_cfg = adkf.ADKFModelConfig(inner_optimizer=inner, features=feats)
-    adkf_fo_cfg = adkf.ADKFModelConfig(
-        inner_optimizer=inner, features=feats, ignore_grad_correction=True
+    adkf_cfg = adkf.ADKFModelConfig(
+        inner_optimizer=inner, features=feats, use_numeric_labels=args.regression
     )
-    dkt_cfg = dkt.DKTModelConfig(inner_optimizer=inner, features=feats)
+    adkf_fo_cfg = adkf.ADKFModelConfig(
+        inner_optimizer=inner, features=feats, ignore_grad_correction=True,
+        use_numeric_labels=args.regression,
+    )
+    dkt_cfg = dkt.DKTModelConfig(
+        inner_optimizer=inner, features=feats, use_numeric_labels=args.regression
+    )
 
     fresh_enc = jax.tree.map(
         np.asarray, adkf.init_encoder_params(adkf_cfg, jax.random.PRNGKey(0), probe.support)
@@ -237,7 +270,7 @@ def main():
     }
 
     results = {}
-    if "oracle" in args.arms.split(","):
+    if "oracle" in args.arms.split(",") and not args.regression:
         # Ceiling: logistic regression on the TEACHER's own graph
         # embeddings at the same support size over the same episode splits.
         from sklearn.linear_model import LogisticRegression
@@ -303,12 +336,12 @@ def main():
                 sem=float(deltas.std() / np.sqrt(len(deltas))),
                 n=len(deltas),
             )
-            print(f"  {name} (resumed): ΔAUPRC {results[name]['mean']:.4f} ± {results[name]['sem']:.4f}", flush=True)
+            print(f"  {name} (resumed): {metric_name} {results[name]['mean']:.4f} ± {results[name]['sem']:.4f}", flush=True)
             continue
         print(f"=== arm {name} ===", flush=True)
         params = arm["params"]
-        predict = make_predict_fn(arm["kind"], arm["cfg"])
-        ckpt_path = f"/tmp/metagain_params_{name}.npz"
+        predict = make_predict_fn(arm["kind"], arm["cfg"], regression=args.regression)
+        ckpt_path = f"/tmp/metagain_params_{name}{suffix}.npz"
         if arm["train"]:
             if os.path.exists(ckpt_path):
                 loaded = np.load(ckpt_path, allow_pickle=True)
@@ -321,13 +354,17 @@ def main():
                     name, arm["cfg"], arm["loss_fns"], params, episodes_for,
                     args.steps, args.tasks_per_batch, lr,
                     validate=lambda p: evaluate(
-                        predict, p, val_tasks, spec, num_samples=args.val_episodes
+                        predict, p, val_tasks, spec, num_samples=args.val_episodes,
+                        regression=args.regression,
                     ),
                     eval_every=args.eval_every,
                 )
                 flat = jax.tree.leaves(params)
                 np.savez(ckpt_path, **{str(i): np.asarray(l) for i, l in enumerate(flat)})
-        keyed = evaluate(predict, params, test_tasks, spec, num_samples=args.eval_episodes)
+        keyed = evaluate(
+            predict, params, test_tasks, spec, num_samples=args.eval_episodes,
+            regression=args.regression,
+        )
         per_episode[name] = keyed
         persist()
         deltas = _vals(keyed)
@@ -336,7 +373,7 @@ def main():
             sem=float(deltas.std() / np.sqrt(len(deltas))),
             n=len(deltas),
         )
-        print(f"  {name}: ΔAUPRC {results[name]['mean']:.4f} ± {results[name]['sem']:.4f}", flush=True)
+        print(f"  {name}: {metric_name} {results[name]['mean']:.4f} ± {results[name]['sem']:.4f}", flush=True)
 
     # Paired per-episode gaps vs the fresh-init control: arms see the
     # IDENTICAL episodes (same sampler seeds), so the difference per
@@ -363,24 +400,41 @@ def main():
                 )
 
     out = args.out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "docs", "METAGAIN.md"
+        os.path.dirname(os.path.abspath(__file__)), "..", "docs",
+        "METAGAIN_REGRESSION.md" if args.regression else "METAGAIN.md",
     )
-    lines = [
-        "# Synthetic meta-gain (teacher-GNN family)\n",
-        "Labels come from a fixed random 2-round message-passing teacher over",
-        "the molecular graph (shared across tasks, task-specific readout);",
-        "fingerprints are pure noise (fp-only probe = chance; oracle",
-        "featurization ΔAUPRC ≈ +0.41). Meta-training must learn the shared",
-        "graph featurization to move the metric — the reference's",
-        "--use-fresh-param-init control (adaptive_dkt_test.py:44-48) and the",
-        "ADKF/DKT ablation rows (SURVEY.md §6).\n",
+    if args.regression:
+        intro = [
+            "# Synthetic meta-gain — REGRESSION (teacher-GNN family)\n",
+            "Numeric labels are log-normal in the shared teacher-GNN graph",
+            "signal (utils/synthetic.make_teacher_task): the pipeline's",
+            "log + support-standardization (data/episodes.build_episode,",
+            "fs_mol/data/dkt.py:91-97 parity) recovers the standardized",
+            "teacher signal exactly, so a GP on a learned graph featurization",
+            "can reach high R² while fingerprints stay noise. Metric is the",
+            "reference's out-of-sample R² vs the support-mean baseline",
+            "(r2_score_os) — the regression half of its results table",
+            "(BASELINE.md §regression).\n",
+        ]
+    else:
+        intro = [
+            "# Synthetic meta-gain (teacher-GNN family)\n",
+            "Labels come from a fixed random 2-round message-passing teacher over",
+            "the molecular graph (shared across tasks, task-specific readout);",
+            "fingerprints are pure noise (fp-only probe = chance; oracle",
+            "featurization ΔAUPRC ≈ +0.41). Meta-training must learn the shared",
+            "graph featurization to move the metric — the reference's",
+            "--use-fresh-param-init control (adaptive_dkt_test.py:44-48) and the",
+            "ADKF/DKT ablation rows (SURVEY.md §6).\n",
+        ]
+    lines = intro + [
         f"Config: encoder `{args.features}`, "
         f"{args.steps} steps × {args.tasks_per_batch} tasks/batch, "
         f"support {args.support}, query {args.query}, {args.train_tasks} train / "
         f"{args.val_tasks} val (best-checkpoint selection, lr {args.lr:g}) / "
         f"{args.test_tasks} test tasks × 8 episodes. Generated by `benchmarks/meta_gain.py` "
         "on the tunnel-attached TPU v5e.\n",
-        "| Arm | mean ΔAUPRC | SEM | episodes |",
+        f"| Arm | mean {metric_name} | SEM | episodes |",
         "|---|---|---|---|",
     ]
     for name, r in results.items():

@@ -95,6 +95,32 @@ def test_numeric_task_filter():
     assert not is_valid_numeric_task(Task("N", withneg))
 
 
+def test_teacher_numeric_labels_support_regression():
+    """Teacher-family numeric labels are log-normal in the graph signal:
+    they must pass the reference's numeric-task filter, and the pipeline's
+    log + support-standardization must recover a zero-mean unit-variance
+    support signal (so r2_score_os's zero baseline is exact) that
+    CORRELATES with the graph signal driving the binary labels."""
+    from adkf_ift_tpu.data import EpisodeSpec, StratifiedTaskSampler, build_episode
+    from adkf_ift_tpu.utils.synthetic import make_teacher_task
+
+    task = make_teacher_task("TREG", num_samples=160, seed=3)
+    assert is_valid_numeric_task(task)
+
+    spec = EpisodeSpec(support_size=32, query_size=64)
+    sampler = StratifiedTaskSampler(32, test_size_or_ratio=64)
+    ep = build_episode(sampler.sample(task, seed=0), spec, regression=True)
+    s = np.asarray(ep.support_numeric_labels)[np.asarray(ep.support.graph_mask) > 0]
+    q = np.asarray(ep.query_numeric_labels)[np.asarray(ep.query.graph_mask) > 0]
+    assert np.isfinite(s).all() and np.isfinite(q).all()
+    np.testing.assert_allclose(s.mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(s.std(), 1.0, atol=1e-4)
+    # Standardized numeric labels and binary labels share the teacher
+    # signal: positive-class episodes must sit above the negatives.
+    yq = np.asarray(ep.query_labels)[np.asarray(ep.query.graph_mask) > 0]
+    assert q[yq > 0].mean() > q[yq < 0].mean() + 0.5
+
+
 def test_eval_with_real_model_gpst(tmp_path):
     """End-to-end: eval harness driving the GP-ST model on a synthetic fold."""
     data_root = make_dataset_dir(str(tmp_path / "d3"), num_train=0, num_valid=0, num_test=1, samples_per_task=120)
