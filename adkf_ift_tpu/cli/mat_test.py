@@ -33,17 +33,51 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     add_eval_cli_args(parser)
     parser.add_argument("--trained-model", type=str, default=None,
                         help="Optional checkpoint dir (fresh init otherwise).")
+    parser.add_argument(
+        "--pretrained-weights", type=str, default=None,
+        help="Published MAT .pth checkpoint: fine-tune from the pretrained "
+        "artifact instead of fresh parameters (the reference's default, "
+        "fs_mol/models/mat.py:29-100). Requires RDKit for the published "
+        "featurization (featurize_smiles_mat).",
+    )
     parser.add_argument("--max-atoms", type=int, default=64)
     parser.add_argument("--query-budget", type=int, default=256)
     parser.add_argument("--finetune-steps", type=int, default=60)
     return parser.parse_args(argv)
 
 
+def _pretrained_setup(args):
+    """(config, params, pack_fn) for the published-checkpoint path: the
+    pretrained architecture + imported tensors + the published 28-dim
+    dummy-node featurization computed from each sample's SMILES."""
+    from adkf_ift_tpu.data.mat import featurize_smiles_mat, pack_dense_mat_features
+
+    config = mat.pretrained_mat_config(finetune_steps=args.finetune_steps)
+    feat_cache = {}
+
+    def pack(samples, num_graphs, max_atoms):
+        mols, labels = [], []
+        for s in samples:
+            if s.smiles not in feat_cache:
+                feat_cache[s.smiles] = featurize_smiles_mat(s.smiles)
+            mols.append(feat_cache[s.smiles])
+            labels.append(1.0 if s.bool_label else 0.0)
+        return pack_dense_mat_features(mols, labels, num_graphs, max_atoms)
+
+    return config, pack
+
+
 def main(argv=None):
     args = parse_command_line(argv)
     out_dir, dataset = set_up_test_run("MATModel", args)
 
-    if args.trained_model:
+    pack_fn = pack_dense_molecules
+    pretrained_src = None
+    if args.pretrained_weights:
+        config, pack_fn = _pretrained_setup(args)
+        params = None
+        pretrained_src = args.pretrained_weights
+    elif args.trained_model:
         config, params, _, _ = load_checkpoint(args.trained_model)
     else:
         config = mat.MATConfig(finetune_steps=args.finetune_steps)
@@ -65,16 +99,21 @@ def main(argv=None):
                     sample = sampler.sample(task, seed=seed)
                 except (SamplingException, ValueError):
                     continue
-                support = pack_dense_molecules(
+                support = pack_fn(
                     sample.train_samples, train_size, args.max_atoms
                 )
                 if params is None:
                     params = mat.init_params(config, jax.random.PRNGKey(args.seed), support)
+                    if pretrained_src is not None:
+                        params = mat.load_pretrained_torch_weights(
+                            config, params, pretrained_src
+                        )
+                        logger.info("loaded pretrained MAT tensors from %s", pretrained_src)
                 preds, labels = [], []
                 test = sample.test_samples
                 for start in range(0, len(test), args.query_budget):
                     chunk = test[start : start + args.query_budget]
-                    query = pack_dense_molecules(chunk, args.query_budget, args.max_atoms)
+                    query = pack_fn(chunk, args.query_budget, args.max_atoms)
                     probs = np.asarray(predict(params, support, query))
                     preds.append(probs[: len(chunk)])
                     labels.append([1.0 if s.bool_label else 0.0 for s in chunk])

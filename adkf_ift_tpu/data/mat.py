@@ -71,3 +71,111 @@ def pack_dense_molecules(
         labels[i] = 1.0 if s.bool_label else 0.0
         gmask[i] = 1.0
     return DenseMolBatch(feats, adj, dist, amask, labels, gmask)
+
+
+# ---------------------------------------------------------------------------
+# Published-checkpoint featurization (pretrained MAT import path)
+# ---------------------------------------------------------------------------
+
+# 28 = 11 atom types + 6 degrees + 5 H-counts + 3 formal charges + ring +
+# aromatic + the dummy-node indicator column.
+MAT_ATOM_FDIM = 28
+_MAT_DUMMY_DISTANCE = 1e6
+
+
+def _one_hot(value, choices):
+    return [1.0 if value == c else 0.0 for c in choices]
+
+
+def mat_atom_features(atom, one_hot_formal_charge: bool = True) -> np.ndarray:
+    """The published MAT atom featurization (the third_party featurizer
+    the reference feeds its pretrained checkpoint through,
+    fs_mol/data/mat.py:18,33-42 with one_hot_formal_charge=True):
+    atomic-number one-hot over {B,C,N,O,F,P,S,Cl,Br,I,other}, degree
+    one-hot 0-5, total-H one-hot 0-4, formal-charge one-hot {-1,0,1},
+    in-ring, aromatic — 27 dims before the dummy-node column."""
+    attributes = _one_hot(
+        atom.GetAtomicNum(), [5, 6, 7, 8, 9, 15, 16, 17, 35, 53, 999]
+    )
+    if attributes[:10] == [0.0] * 10 and atom.GetAtomicNum() != 999:
+        attributes[-1] = 1.0  # "other" bucket
+    attributes += _one_hot(len(atom.GetNeighbors()), [0, 1, 2, 3, 4, 5])
+    attributes += _one_hot(atom.GetTotalNumHs(), [0, 1, 2, 3, 4])
+    if one_hot_formal_charge:
+        attributes += _one_hot(atom.GetFormalCharge(), [-1, 0, 1])
+    else:
+        attributes.append(float(atom.GetFormalCharge()))
+    attributes.append(1.0 if atom.IsInRing() else 0.0)
+    attributes.append(1.0 if atom.GetIsAromatic() else 0.0)
+    return np.asarray(attributes, np.float32)
+
+
+def featurize_smiles_mat(smiles: str, add_dummy_node: bool = True):
+    """(node_features [A, 28], adjacency [A, A], distance [A, A]) for one
+    molecule in the published pretrained-MAT convention: 3D conformer
+    distances (ETKDG embed + UFF optimize, 2D-coordinate fallback), bond
+    adjacency WITHOUT self-loops, and a prepended dummy node whose only
+    feature is column 0 and whose distances are 1e6. RDKit-gated."""
+    from rdkit import Chem
+    from rdkit.Chem import AllChem
+
+    mol = Chem.MolFromSmiles(smiles)
+    if mol is None:
+        raise ValueError(f"unparseable SMILES {smiles!r}")
+    try:
+        molh = Chem.AddHs(mol)
+        if AllChem.EmbedMolecule(molh, maxAttempts=5000) != 0:
+            raise ValueError("embed failed")
+        AllChem.UFFOptimizeMolecule(molh)
+        mol = Chem.RemoveHs(molh)
+    except Exception:  # noqa: BLE001 — published fallback path
+        AllChem.Compute2DCoords(mol)
+
+    feats = np.stack([mat_atom_features(a) for a in mol.GetAtoms()])
+    n = mol.GetNumAtoms()
+    adj = np.zeros((n, n), np.float32)
+    for bond in mol.GetBonds():
+        i, j = bond.GetBeginAtom().GetIdx(), bond.GetEndAtom().GetIdx()
+        adj[i, j] = adj[j, i] = 1.0
+    conf = mol.GetConformer()
+    pos = np.asarray(
+        [[conf.GetAtomPosition(k).x, conf.GetAtomPosition(k).y, conf.GetAtomPosition(k).z]
+         for k in range(n)],
+        np.float32,
+    )
+    dist = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1).astype(np.float32)
+
+    if add_dummy_node:
+        f = np.zeros((n + 1, feats.shape[1] + 1), np.float32)
+        f[1:, 1:] = feats
+        f[0, 0] = 1.0
+        a = np.zeros((n + 1, n + 1), np.float32)
+        a[1:, 1:] = adj
+        d = np.full((n + 1, n + 1), _MAT_DUMMY_DISTANCE, np.float32)
+        d[1:, 1:] = dist
+        feats, adj, dist = f, a, d
+    return feats, adj, dist
+
+
+def pack_dense_mat_features(
+    mols: List[tuple], labels: List[float], num_graphs: int, max_atoms: int = 64
+) -> DenseMolBatch:
+    """Stack featurize_smiles_mat outputs into a padded DenseMolBatch
+    (the pretrained-import twin of pack_dense_molecules)."""
+    g = num_graphs
+    fdim = mols[0][0].shape[1] if mols else MAT_ATOM_FDIM
+    feats = np.zeros((g, max_atoms, fdim), np.float32)
+    adj = np.zeros((g, max_atoms, max_atoms), np.float32)
+    dist = np.full((g, max_atoms, max_atoms), _MAT_DUMMY_DISTANCE, np.float32)
+    amask = np.zeros((g, max_atoms), np.float32)
+    lab = np.zeros((g,), np.float32)
+    gmask = np.zeros((g,), np.float32)
+    for i, ((f, a, d), y) in enumerate(zip(mols[:g], labels[:g])):
+        v = min(f.shape[0], max_atoms)
+        feats[i, :v] = f[:v]
+        adj[i, :v, :v] = a[:v, :v]
+        dist[i, :v, :v] = d[:v, :v]
+        amask[i, :v] = 1.0
+        lab[i] = float(y)
+        gmask[i] = 1.0
+    return DenseMolBatch(feats, adj, dist, amask, lab, gmask)
