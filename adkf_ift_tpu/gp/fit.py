@@ -45,6 +45,12 @@ class LBFGSConfig:
     method: str = "auto"
     newton_iters: int = 16
     newton_damping: float = 1e-6
+    # IFT backward solve budget for ARD-width problems (gp/ift.py): CG on
+    # f64 Hessian-vector products stops at min(ift_cg_iters, convergence
+    # at ift_cg_tol). f64 HVPs are emulated on TPU — this budget is the
+    # ARD backward's dominant sequential cost, so it is a tuning knob.
+    ift_cg_iters: int = 100
+    ift_cg_tol: float = 1e-5
 
     def resolve_method(self, dim: int) -> str:
         """Concrete method for a `dim`-parameter inner problem."""

@@ -32,9 +32,9 @@ from adkf_ift_tpu.gp.exact import ExactGPConfig
 from adkf_ift_tpu.gp.fit import LBFGSConfig, make_inner_loss, minimize
 
 # Above this inner dimension, solve H v = g by CG on HVPs instead of
-# materializing the dense Hessian.
+# materializing the dense Hessian. The CG budget/tolerance live on
+# LBFGSConfig (ift_cg_iters / ift_cg_tol).
 DENSE_HESSIAN_MAX_DIM = 64
-_CG_ITERS = 100
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -76,7 +76,8 @@ def _fwd(config, optimizer, first_order, x, y, init_flat, mask, lengthscale_prio
     return theta_star, (x, y, theta_star, mask, lengthscale_prior_loc)
 
 
-def _solve_hessian_system(inner_loss_theta, theta_star, g):
+def _solve_hessian_system(inner_loss_theta, theta_star, g,
+                          cg_iters: int = 100, cg_tol: float = 1e-5):
     """Solve H v = g where H = ∂²L_in/∂θ² at theta*.
 
     The dense route preconditions by |eigenvalues| (clamped) instead of
@@ -101,7 +102,7 @@ def _solve_hessian_system(inner_loss_theta, theta_star, g):
     def hvp(v):
         return jax.jvp(grad_fn, (theta_star,), (v,))[1] + 1e-6 * v
 
-    v, _ = jax.scipy.sparse.linalg.cg(hvp, g, maxiter=_CG_ITERS)
+    v, _ = jax.scipy.sparse.linalg.cg(hvp, g, maxiter=cg_iters, tol=cg_tol)
     return v
 
 
@@ -156,7 +157,10 @@ def _bwd(config, optimizer, first_order, residuals, theta_bar):
             def inner_loss_theta(theta):
                 return make_inner_loss(config, None, y64, mask64, loc64, gram=gram64)(theta)
 
-            v = _solve_hessian_system(inner_loss_theta, theta64, bar64)
+            v = _solve_hessian_system(
+                inner_loss_theta, theta64, bar64,
+                cg_iters=optimizer.ift_cg_iters, cg_tol=optimizer.ift_cg_tol,
+            )
 
             def grad_wrt_gram(gram_, y_):
                 loss = make_inner_loss(config, None, y_, mask64, loc64, gram=gram_)
@@ -172,7 +176,10 @@ def _bwd(config, optimizer, first_order, residuals, theta_bar):
             def inner_loss_theta(theta):
                 return make_inner_loss(config, x64, y64, mask64, loc64)(theta)
 
-            v = _solve_hessian_system(inner_loss_theta, theta64, bar64)
+            v = _solve_hessian_system(
+                inner_loss_theta, theta64, bar64,
+                cg_iters=optimizer.ift_cg_iters, cg_tol=optimizer.ift_cg_tol,
+            )
 
             # Cotangents wrt (x, y): -d/d(x,y) <grad_theta L_in, v>
             def grad_wrt_theta(x_, y_):

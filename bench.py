@@ -104,13 +104,15 @@ def main():
     # L-BFGS + CG-on-HVP IFT instead of damped Newton + dense solve).
     use_ard = os.environ.get("BENCH_ARD", "0") == "1"
     inner_iters = int(os.environ.get("BENCH_INNER_ITERS", "48"))
+    cg_iters = int(os.environ.get("BENCH_IFT_CG_ITERS", "100"))
     newton_iters = int(os.environ.get("BENCH_NEWTON_ITERS", "16"))
     config = adkf.ADKFModelConfig(
         # Damped Newton on the 3-param non-ARD inner problem reaches the
         # same optima as L-BFGS (tests/test_gp_fit.py) in ~1/3 the
         # iterations and ~1/10 the sequential ops.
         inner_optimizer=LBFGSConfig(
-            max_iters=inner_iters, history=8, method=inner_method, newton_iters=newton_iters
+            max_iters=inner_iters, history=8, method=inner_method, newton_iters=newton_iters,
+            ift_cg_iters=cg_iters
         ),
         use_ard=use_ard,
         # BENCH_ARD_WARMSTART=0 disables the isotropic subspace pre-fit.
