@@ -311,6 +311,7 @@ def run_episodic_test(
         query_budget=args.query_budget,
         episode_transform=episode_transform_for(config, args),
         wire_budget=192,  # predict fns decompress on device
+        skip_existing=bool(getattr(args, "reuse_run_dir", None)),
     )
     _log_aggregate(results, regression)
     return results

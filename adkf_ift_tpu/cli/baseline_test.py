@@ -104,8 +104,13 @@ def _run(args, regression: bool) -> None:
     import os
 
     out_dir, dataset = set_up_test_run(args.model, args)
+    skip_existing = bool(getattr(args, "reuse_run_dir", None))
     for task in dataset.get_task_reading_iterable(DataFold.TEST):
         if regression and not is_valid_numeric_task(task):
+            continue
+        path = os.path.join(out_dir, f"{task.name}_eval_results.csv")
+        if skip_existing and os.path.exists(path) and os.path.getsize(path) > 0:
+            logger.info("resume: %s already evaluated, skipping", task.name)
             continue
         results = []
         for train_size in args.train_sizes:

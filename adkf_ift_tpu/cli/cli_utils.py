@@ -100,6 +100,14 @@ def add_eval_cli_args(parser: argparse.ArgumentParser) -> None:
         default=None,
         help="Number of query samples; default = all remaining after the support split.",
     )
+    parser.add_argument(
+        "--reuse-run-dir",
+        type=str,
+        default=None,
+        help="Resume a partial eval: write into this existing run directory "
+        "and skip tasks whose per-task CSV is already present (crash "
+        "tolerance for long sweeps; capability the reference lacks).",
+    )
 
 
 def add_walltime_cli_args(parser: argparse.ArgumentParser) -> None:
@@ -123,8 +131,13 @@ def set_up_run(
     """Seed, output dir, logging, dataset (set_up_train_run /
     set_up_test_run, cli_utils.py:56-84 / test_utils.py:146-162)."""
     set_seed(args.seed)
-    run_name = f"FSMol_{kind}_{model_name}__{time.strftime('%Y-%m-%d_%H-%M-%S')}"
-    out_dir = os.path.join(args.save_dir, run_name)
+    reuse = getattr(args, "reuse_run_dir", None)
+    if reuse:
+        out_dir = reuse
+        run_name = os.path.basename(os.path.normpath(out_dir))
+    else:
+        run_name = f"FSMol_{kind}_{model_name}__{time.strftime('%Y-%m-%d_%H-%M-%S')}"
+        out_dir = os.path.join(args.save_dir, run_name)
     os.makedirs(out_dir, exist_ok=True)
     set_up_logging(os.path.join(out_dir, f"{kind}.log"))
     logger.info("Run %s, output in %s", run_name, out_dir)

@@ -43,6 +43,7 @@ def main(argv=None):
             support_sizes=args.train_sizes, num_samples=args.num_runs,
             test_size_or_ratio=args.test_size, out_dir=out_dir, seed=args.seed,
             filter_numeric_labels=args.use_numeric_labels, query_budget=args.query_budget,
+            skip_existing=bool(getattr(args, "reuse_run_dir", None)),
         )
         return
     run_episodic_test(

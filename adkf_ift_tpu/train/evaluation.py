@@ -93,8 +93,13 @@ def eval_model(
     num_workers: int = 0,
     episode_transform: Optional[Callable] = None,
     wire_budget: Optional[int] = None,
+    skip_existing: bool = False,
 ) -> Dict[str, List]:
     """Evaluate over a fold; returns {task_name: [results...]}.
+
+    `skip_existing`: resume semantics — tasks whose per-task CSV already
+    exists (non-empty) in `out_dir` are skipped, so a crashed sweep can
+    be re-run into the same directory and only pay for missing tasks.
 
     `wire_budget`: assemble dense-layout episodes directly in wire dtypes
     (sparse fingerprints etc., fastpack.DenseTaskPack.wireized) — only
@@ -117,6 +122,14 @@ def eval_model(
     for task in dataset.get_task_reading_iterable(fold, num_workers=num_workers):
         if filter_numeric_labels and not is_valid_numeric_task(task):
             continue
+        if skip_existing and out_dir is not None:
+            existing = os.path.join(out_dir, f"{task.name}_eval_results.csv")
+            if os.path.exists(existing) and os.path.getsize(existing) > 0:
+                with open(existing) as f:
+                    n_rows = sum(1 for _ in f) - 1
+                if n_rows > 0:
+                    logger.info("resume: %s already has %d rows, skipping", task.name, n_rows)
+                    continue
         pack = (
             fastpack.task_pack_for(
                 task,

@@ -56,6 +56,37 @@ def test_eval_model_csv_schema(tmp_path):
         assert abs(d - (ap - fp)) < 1e-9
 
 
+def test_eval_skip_existing_resumes_partial_run(tmp_path):
+    """skip_existing: tasks with a non-empty CSV in out_dir are not
+    re-evaluated (crash-tolerant sweep resume, zoo_bench/--reuse-run-dir)."""
+    data_root = make_dataset_dir(
+        str(tmp_path / "d3"), num_train=0, num_valid=0, num_test=2, samples_per_task=80
+    )
+    ds = FSMolDataset.from_directory(data_root)
+    out_dir = str(tmp_path / "out3")
+
+    # First pass: evaluate everything.
+    eval_model(_dummy_evaluator, ds, support_sizes=[16], num_samples=1,
+               out_dir=out_dir, query_budget=32)
+    csvs = sorted(f for f in os.listdir(out_dir) if f.endswith("_eval_results.csv"))
+    assert len(csvs) == 2
+    # Simulate a crash: remove one task's CSV, truncate nothing else.
+    os.remove(os.path.join(out_dir, csvs[0]))
+
+    calls = []
+
+    def counting_evaluator(episode, seed):
+        calls.append(seed)
+        return _dummy_evaluator(episode, seed)
+
+    results = eval_model(counting_evaluator, ds, support_sizes=[16], num_samples=1,
+                         out_dir=out_dir, query_budget=32, skip_existing=True)
+    # Only the missing task was re-run; the completed one was skipped.
+    assert len(results) == 1
+    assert calls  # the missing task actually ran
+    assert os.path.exists(os.path.join(out_dir, csvs[0]))
+
+
 def test_eval_chunking_covers_all_query_points(tmp_path):
     """query_budget smaller than the test split => multiple chunks whose
     predictions concatenate to the full query set."""
