@@ -160,6 +160,46 @@ def test_dkt_train_resume(data_root, tmp_path):
         assert json.load(f)["step"] == step0 + 2
 
 
+def test_protonet_train_then_test(data_root, tmp_path):
+    """Mirrors the zoo_bench PN arm's flag set (incl. --features gnn+fc)."""
+    from adkf_ift_tpu.cli import protonet_test, protonet_train
+
+    save = str(tmp_path / "out")
+    protonet_train.main([data_root, "--save-dir", save, "--lr", "1e-3",
+                         "--features", "gnn+fc"]
+                        + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    protonet_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                        "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_cnp_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import cnp_test, cnp_train
+
+    save = str(tmp_path / "out")
+    cnp_train.main([data_root, "--save-dir", save, "--lr", "1e-3",
+                    "--features", "gnn+fc"]
+                   + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    cnp_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                   "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_maml_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import maml_test, maml_train
+
+    save = str(tmp_path / "out")
+    maml_train.main([data_root, "--save-dir", save, "--lr", "1e-3",
+                     "--features", "gnn+fc"]
+                    + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    maml_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                    "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
 def test_par_train_then_test(data_root, tmp_path):
     from adkf_ift_tpu.cli import par_test, par_train
 
