@@ -85,7 +85,12 @@ def main(argv=None):
 
     predict = jax.jit(lambda p, s, q: mat.episode_predict(config, p, s, q))
 
+    skip_existing = bool(getattr(args, "reuse_run_dir", None))
     for task in dataset.get_task_reading_iterable(DataFold.TEST):
+        csv_path = os.path.join(out_dir, f"{task.name}_eval_results.csv")
+        if skip_existing and os.path.exists(csv_path) and os.path.getsize(csv_path) > 0:
+            logger.info("resume: %s already evaluated, skipping", task.name)
+            continue
         results = []
         for train_size in args.train_sizes:
             sampler = StratifiedTaskSampler(
@@ -129,7 +134,7 @@ def main(argv=None):
                         **dataclasses.asdict(metrics),
                     )
                 )
-        write_csv_summary(os.path.join(out_dir, f"{task.name}_eval_results.csv"), results)
+        write_csv_summary(csv_path, results)
         if results:
             deltas = [r.avg_precision - r.fraction_pos_test for r in results]
             logger.info("%s: mean delta AUPRC %.4f", task.name, float(np.mean(deltas)))

@@ -200,6 +200,44 @@ def test_maml_train_then_test(data_root, tmp_path):
     _assert_eval_csvs(save)
 
 
+def test_adkf_vgp_train_then_test(data_root, tmp_path):
+    from adkf_ift_tpu.cli import adkf_vgp_test, adkf_vgp_train
+
+    save = str(tmp_path / "out")
+    adkf_vgp_train.main([data_root, "--save-dir", save, "--lr", "1e-3",
+                         "--features", "gnn+fc", "--inner-max-iters", "4"]
+                        + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    adkf_vgp_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                        "--train-sizes", "[16]", "--query-budget", "32"])
+    _assert_eval_csvs(save)
+
+
+def test_dkt_test_time_adaptation_cli(data_root, tmp_path):
+    """DKT+ (per-episode GP refit at test time) through the CLI flag."""
+    from adkf_ift_tpu.cli import dkt_test, dkt_train
+
+    save = str(tmp_path / "out")
+    dkt_train.main([data_root, "--save-dir", save, "--lr", "1e-3"]
+                   + TINY_ENCODER_FLAGS + TINY_TRAIN_FLAGS)
+    ckpt = _latest_ckpt(save)
+    dkt_test.main([ckpt, data_root, "--save-dir", save, "--num-runs", "1",
+                   "--train-sizes", "[16]", "--query-budget", "32",
+                   "--test-time-adaptation"])
+    _assert_eval_csvs(save)
+
+
+def test_mat_test_cli(data_root, tmp_path):
+    """MAT from-scratch per-task finetune eval (the zoo MAT arm)."""
+    from adkf_ift_tpu.cli import mat_test
+
+    save = str(tmp_path / "out")
+    mat_test.main([data_root, "--save-dir", save, "--num-runs", "1",
+                   "--train-sizes", "[16]", "--query-budget", "32",
+                   "--finetune-steps", "2", "--max-atoms", "48"])
+    _assert_eval_csvs(save)
+
+
 def test_par_train_then_test(data_root, tmp_path):
     from adkf_ift_tpu.cli import par_test, par_train
 
