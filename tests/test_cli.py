@@ -238,6 +238,28 @@ def test_mat_test_cli(data_root, tmp_path):
     _assert_eval_csvs(save)
 
 
+def test_dkl_test_cli(data_root, tmp_path):
+    """DKL from-scratch per-task fit (the zoo DKL arm)."""
+    from adkf_ift_tpu.cli import dkl_test
+
+    save = str(tmp_path / "out")
+    dkl_test.main([data_root, "--save-dir", save, "--num-runs", "1",
+                   "--train-sizes", "[16]", "--query-budget", "32",
+                   "--num-train-steps", "2"] + TINY_ENCODER_FLAGS)
+    _assert_eval_csvs(save)
+
+
+def test_multitask_from_scratch_cli(data_root, tmp_path):
+    """GNN-ST: single-task model trained per support set from random init."""
+    from adkf_ift_tpu.cli import multitask_test
+
+    save = str(tmp_path / "out")
+    multitask_test.main([data_root, "--save-dir", save, "--num-runs", "1",
+                         "--train-sizes", "[16]", "--query-budget", "32",
+                         "--from-scratch"])
+    _assert_eval_csvs(save)
+
+
 def test_par_train_then_test(data_root, tmp_path):
     from adkf_ift_tpu.cli import par_test, par_train
 
