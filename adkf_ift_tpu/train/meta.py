@@ -132,8 +132,22 @@ def make_meta_train_step(
 
     def apply_update(state, grads, losses, n_tasks):
         grads = jax.tree.map(lambda g: g / n_tasks, grads)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        # Non-finite guard: one NaN/inf task batch must not poison Adam's
+        # moments permanently (observed: the first-order regression arm
+        # died at step 200 and stayed dead, docs/METAGAIN_REGRESSION.md).
+        # The whole update is skipped — params AND opt_state keep their
+        # old values — while `step` still advances so schedules/logging
+        # stay aligned. Structure-preserving (no optax.apply_if_finite
+        # wrapper) so existing checkpointed opt_states keep loading.
+        finite = jnp.array(True)
+        for g in jax.tree.leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = optimizer.update(safe_grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        keep = lambda new, old: jnp.where(finite, new, old)
+        new_params = jax.tree.map(keep, new_params, state.params)
+        new_opt_state = jax.tree.map(keep, new_opt_state, state.opt_state)
         return MetaTrainState(new_params, new_opt_state, state.step + 1), losses
 
     from adkf_ift_tpu.utils.wire import decompress_batch

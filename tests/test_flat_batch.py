@@ -210,3 +210,34 @@ def test_meta_train_step_with_batch_loss_fn_trains():
     for _ in range(4):
         state, losses = step(state, batch)
     assert float(np.mean(np.asarray(losses))) < l0
+
+
+def test_nonfinite_grad_guard_skips_update():
+    """One NaN task batch must not poison params or Adam moments: the
+    update is skipped wholesale (params/opt_state unchanged, step still
+    advances), and training continues normally on the next finite batch
+    (regression: the first-order arm in docs/METAGAIN_REGRESSION.md died
+    permanently at its first NaN step)."""
+
+    def episode_loss(p, ep):
+        return jnp.sum(p["w"] * ep["x"])
+
+    opt = make_optimizer(1e-2)
+    step = make_meta_train_step(episode_loss, opt, remat=False)
+    params0 = np.ones((3,), np.float32)
+    state = init_train_state({"w": jnp.asarray(params0)}, opt)
+
+    bad = {"x": jnp.full((2, 3), jnp.nan, jnp.float32)}
+    state, losses = step(state, bad)
+    assert not np.any(np.isfinite(np.asarray(losses)))
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), params0)
+    for leaf in jax.tree.leaves(state.opt_state):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert int(state.step) == 1
+
+    good = {"x": jnp.ones((2, 3), jnp.float32)}
+    state, losses = step(state, good)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    w = np.asarray(state.params["w"])
+    assert np.all(np.isfinite(w)) and not np.array_equal(w, params0)
+    assert int(state.step) == 2
