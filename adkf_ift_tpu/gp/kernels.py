@@ -217,7 +217,12 @@ def median_lengthscale_init(x: jnp.ndarray, mask: jnp.ndarray = None) -> jnp.nda
     # Median over positive entries only: sort with +inf fill and index
     # the middle of the valid prefix.
     num_pos = jnp.sum(pos)
-    sorted_vals = jnp.sort(jnp.where(pos, vals, jnp.inf))
+    # stable=False: sorted VALUES are identical either way, and the
+    # stable variant carries a u32 iota payload through the TPU sort
+    # lowering whose scratch blew the 16 MB scoped-vmem limit inside the
+    # (large) VGP outer step — "reduce-window.168 ... exceeded scoped
+    # vmem limit", .zoo/logs/ADKT-VGP.log.
+    sorted_vals = jnp.sort(jnp.where(pos, vals, jnp.inf), stable=False)
     # torch.median returns the lower middle element for even counts.
     med_idx = jnp.maximum((num_pos - 1) // 2, 0)
     median = sorted_vals[med_idx]
