@@ -18,6 +18,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# MUST be set before importing benchmarks.ard_profile, whose module-level
+# setdefault would otherwise point this CPU run at the TPU .jax_cache —
+# which contains the remote compile server's machine-mismatched XLA:CPU
+# AOT artifacts (cpu_aot_loader warning, silently wrong numerics).
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.abspath(_cache)
 
 import jax
 
@@ -26,8 +32,7 @@ try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
     pass
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import argparse
@@ -114,6 +119,36 @@ def main():
         _, k, res = cg_probe(theta_star, gbar)
         row["cg_iters_to_tol(max400)"] = int(np.asarray(k))
         row["cg_relres"] = f"{float(np.asarray(res)):.2e}"
+
+        # Hypergradient ACCURACY vs CG budget: if a 25-iteration solve
+        # already matches the 400-iteration reference to ~1e-3 relative,
+        # the production budget can drop (it is ~100 sequential f64 HVPs,
+        # the ARD backward's dominant cost on device).
+        from adkf_ift_tpu.gp.exact import predictive_nll
+        from adkf_ift_tpu.gp.fit import unflatten_gp_params
+        from adkf_ift_tpu.gp.ift import fit_gp_implicit
+
+        rngq = np.random.RandomState(seed + 100)
+        xq = jnp.asarray(rngq.randn(128, d).astype(np.float32))
+        yq = jnp.asarray(
+            np.sign(np.asarray(xq)[:, :sd] @ w + 0.1 * rngq.randn(128)).astype(np.float32)
+        )
+
+        def outer_grad(budget):
+            o = replace(opt, max_iters=96, ift_cg_iters=budget)
+
+            def outer(xf):
+                theta = fit_gp_implicit(config, o, False, xf, y, warm, None, None)
+                p = unflatten_gp_params(config.kernel, theta)
+                return predictive_nll(config, p, xf, y, xq, yq)
+
+            return np.asarray(jax.jit(jax.grad(outer))(x))
+
+        ref = outer_grad(400)
+        refn = np.linalg.norm(ref)
+        for budget in (10, 25, 50, 100):
+            gb = outer_grad(budget)
+            row[f"hypergrad_relerr@cg{budget}"] = f"{np.linalg.norm(gb - ref) / refn:.2e}"
         report[f"seed{seed}"] = row
 
     print(json.dumps(report, indent=2))
