@@ -17,7 +17,6 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     )
     parser.add_argument("TRAINED_MODEL", type=str, help="Checkpoint directory.")
     add_walltime_cli_args(parser)
-    parser.add_argument("--query-budget", type=int, default=256)
     parser.add_argument("--use-numeric-labels", action="store_true")
     return parser.parse_args(argv)
 

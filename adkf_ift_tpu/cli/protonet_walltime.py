@@ -15,7 +15,6 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     )
     parser.add_argument("TRAINED_MODEL", type=str)
     add_walltime_cli_args(parser)
-    parser.add_argument("--query-budget", type=int, default=256)
     return parser.parse_args(argv)
 
 

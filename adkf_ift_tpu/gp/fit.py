@@ -49,7 +49,13 @@ class LBFGSConfig:
     # f64 Hessian-vector products stops at min(ift_cg_iters, convergence
     # at ift_cg_tol). f64 HVPs are emulated on TPU — this budget is the
     # ARD backward's dominant sequential cost, so it is a tuning knob.
-    ift_cg_iters: int = 100
+    # 400 covers the measured worst case: on hard ARD instances CG needs
+    # ~333 iterations to reach 1e-5, and the previous 100-iteration
+    # default left 70-97% relative hypergradient error there, while
+    # warm-started instances converge in ~4 iterations and exit early
+    # (benchmarks/ard_cpu_probe.py; a Jacobi/Hutchinson preconditioner
+    # was tried and made the hard case worse — see gp/ift.py).
+    ift_cg_iters: int = 400
     ift_cg_tol: float = 1e-5
 
     def resolve_method(self, dim: int) -> str:

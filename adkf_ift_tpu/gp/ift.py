@@ -102,6 +102,16 @@ def _solve_hessian_system(inner_loss_theta, theta_star, g,
     def hvp(v):
         return jax.jvp(grad_fn, (theta_star,), (v,))[1] + 1e-6 * v
 
+    # NOTE on preconditioning: a Jacobi preconditioner from an 8-probe
+    # Hutchinson diagonal estimate was tried here and REJECTED — on the
+    # hard instances it targets (CG needing ~333 iters to 1e-5) it made
+    # the hypergradient WORSE at every budget (relerr@100: 0.80 -> 2.38,
+    # benchmarks/ard_cpu_probe.py): the ARD Hessian carries enough
+    # off-diagonal mass that the probe-noise in the diagonal estimate
+    # outweighs the conditioning win. Plain CG + a budget that covers
+    # the measured worst case (LBFGSConfig.ift_cg_iters) is the honest
+    # configuration; CG exits early at ift_cg_tol, so easy (warm-started)
+    # instances still cost ~4 iterations.
     v, _ = jax.scipy.sparse.linalg.cg(hvp, g, maxiter=cg_iters, tol=cg_tol)
     return v
 
