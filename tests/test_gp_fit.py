@@ -252,3 +252,14 @@ def test_minimize_auto_dispatches_newton_on_small_problem():
     cfg = LBFGSConfig(max_iters=1, newton_iters=12)
     res = minimize(quad, jnp.zeros(3), cfg)
     np.testing.assert_allclose(np.asarray(res.x), 1.5, atol=1e-4)
+
+
+def test_ift_cg_budget_covers_measured_worst_case():
+    """The ARD IFT backward's CG budget must cover the measured hard
+    instance (~333 iterations to ift_cg_tol; benchmarks/ard_cpu_probe.py
+    — the old 100-iteration default left 70-97% relative hypergradient
+    error there, docs/ARD_TUNING.md). CG exits early at ift_cg_tol, so
+    warm-started instances are unaffected by the larger ceiling."""
+    cfg = LBFGSConfig()
+    assert cfg.ift_cg_iters >= 400
+    assert cfg.ift_cg_tol <= 1e-5
