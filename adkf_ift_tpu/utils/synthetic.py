@@ -121,8 +121,8 @@ def make_task(
 _TEACHER_DIM = 16
 
 
-def _teacher_weights():
-    r = np.random.RandomState(777)
+def _teacher_weights(seed: int = 777):
+    r = np.random.RandomState(seed)
     return {
         "w0": r.randn(NUM_NODE_FEATURES, _TEACHER_DIM) * 0.7,
         "wmp": [r.randn(_TEACHER_DIM, _TEACHER_DIM) * (0.9 / np.sqrt(_TEACHER_DIM))
@@ -135,23 +135,27 @@ def _teacher_weights():
 _TEACHER = _teacher_weights()
 
 
-def _teacher_embed(node_features: np.ndarray, adjacency: List[np.ndarray]) -> np.ndarray:
-    """Fixed random 2-round typed message passing -> graph embedding [16]."""
-    v = node_features.shape[0]
-    h = np.tanh(node_features @ _TEACHER["w0"])
+def _teacher_embed(
+    node_features: np.ndarray, adjacency: List[np.ndarray], weights=None
+) -> np.ndarray:
+    """Fixed random 2-round typed message passing -> graph embedding [16].
+    `weights` (default: the shared label teacher) lets probes embed with a
+    DIFFERENT random draw — i.e. a fresh-init encoder stand-in."""
+    w = _TEACHER if weights is None else weights
+    h = np.tanh(node_features @ w["w0"])
     for rnd in range(2):
         agg = np.zeros_like(h)
         for t, edges in enumerate(adjacency):
-            w = _TEACHER["wmp"][rnd * NUM_EDGE_TYPES + t]
-            a = _TEACHER["alpha"][rnd * NUM_EDGE_TYPES + t]
+            wmp = w["wmp"][rnd * NUM_EDGE_TYPES + t]
+            a = w["alpha"][rnd * NUM_EDGE_TYPES + t]
             if len(edges):
-                msg = h[edges[:, 0]] @ w
+                msg = h[edges[:, 0]] @ wmp
                 np.add.at(agg, edges[:, 1], a * msg)
-                msg_b = h[edges[:, 1]] @ w
+                msg_b = h[edges[:, 1]] @ wmp
                 np.add.at(agg, edges[:, 0], a * msg_b)
         h = np.tanh(h + agg)
     g = np.concatenate([h.mean(0), h.max(0)])
-    return np.tanh(g @ _TEACHER["wout"])
+    return np.tanh(g @ w["wout"])
 
 
 def make_teacher_task(
@@ -162,11 +166,30 @@ def make_teacher_task(
     max_nodes: int = 40,
     flip_prob: float = 0.02,
     numeric_noise: float = 0.05,
+    readout: str = "linear",
+    balance_quantile: float = 0.5,
 ) -> Task:
     """Task whose labels = task-specific readout of the SHARED teacher-GNN
-    graph embedding; classes balanced by the per-task median threshold."""
+    graph embedding; classes split at the per-task `balance_quantile`
+    threshold of the signal (0.5 = median, the original balanced family).
+
+    `readout` selects the task-specific functional of the embedding `e`:
+      * "linear" (default): e @ w — the round-2/3 family. A fresh random
+        GNN encoder spans nearly the same function class as the random
+        teacher, so a GP on fresh-init features can interpolate a LINEAR
+        functional from few support points — which made from-scratch
+        arms artificially strong on this family (docs/ZOO_BENCH.md).
+      * "quadratic": tanh(e@u1) * tanh(e@u2) + 0.5 * (e@u3) — a
+        multiplicative (XOR-like) combination. A GP on generic random
+        features needs far more support points to interpolate a product
+        of two unknown directions, while a meta-trained encoder can
+        learn to expose the factors directly; this is the v2 "hard"
+        family's discrimination mechanism (VERDICT r3 next-step #3).
+    """
     rng = np.random.RandomState(seed)
     w_task = rng.randn(_TEACHER_DIM)
+    if readout == "quadratic":
+        u1, u2, u3 = (rng.randn(_TEACHER_DIM) for _ in range(3))
     mols, signals = [], []
     for _ in range(num_samples):
         v = rng.randint(min_nodes, max_nodes + 1)
@@ -180,7 +203,13 @@ def make_teacher_task(
         adjacency = [all_edges[type_assign == t] for t in range(NUM_EDGE_TYPES)]
         adjacency = [a if len(a) else np.zeros((0, 2), np.int32) for a in adjacency]
 
-        signal = float(_teacher_embed(node_features, adjacency) @ w_task)
+        e = _teacher_embed(node_features, adjacency)
+        if readout == "quadratic":
+            signal = float(
+                np.tanh(e @ u1) * np.tanh(e @ u2) * 3.0 + 0.5 * (e @ u3)
+            )
+        else:
+            signal = float(e @ w_task)
         signals.append(signal)
         mols.append(
             dict(
@@ -193,7 +222,7 @@ def make_teacher_task(
             )
         )
     signals = np.asarray(signals)
-    thresh = float(np.median(signals))
+    thresh = float(np.quantile(signals, balance_quantile))
     scale = float(signals.std()) or 1.0
     samples = []
     for mol, s in zip(mols, signals):
@@ -225,6 +254,7 @@ def make_teacher_dataset_dir(
     num_test: int = 16,
     samples_per_task: int = 160,
     seed: int = 0,
+    family: str = "v1",
 ) -> str:
     """Write a TEACHER-GNN-family dataset in the FS-Mol directory layout
     (train/valid/test of JSONL.gz task files) so every family's own
@@ -235,7 +265,16 @@ def make_teacher_dataset_dir(
     directly comparable with the meta-gain arms. Fingerprints and
     descriptors are per-molecule NOISE in this family — use
     `--features gnn+fc` (see meta_gain.py's rationale: an fp channel
-    lets the encoder memorize molecule→label and collapse)."""
+    lets the encoder memorize molecule→label and collapse).
+
+    `family="v2"` is the DISCRIMINATIVE regime (VERDICT r3 next-step
+    #3): quadratic task readouts (see make_teacher_task), 10% label
+    flips, and per-task base-rate jitter (threshold quantile ~
+    U[0.35, 0.65], deterministic in the task seed). Flipped labels make
+    from-scratch support fits overfit at small support the way real
+    assay noise does, and the multiplicative readout removes the
+    fresh-init inflation of the v1 family; callers should pair it with
+    ≥96 train tasks."""
     folds = (
         ("train", num_train, "TR", 100),
         ("valid", num_valid, "VA", 5500),
@@ -244,8 +283,15 @@ def make_teacher_dataset_dir(
     for fold, count, prefix, base in folds:
         os.makedirs(os.path.join(root, fold), exist_ok=True)
         for i in range(count):
+            task_seed = base + seed + i
+            kwargs = {}
+            if family == "v2":
+                q = np.random.RandomState(task_seed ^ 0x5EED).uniform(0.35, 0.65)
+                kwargs = dict(
+                    readout="quadratic", flip_prob=0.10, balance_quantile=float(q)
+                )
             task = make_teacher_task(
-                f"{prefix}{i}", num_samples=samples_per_task, seed=base + seed + i
+                f"{prefix}{i}", num_samples=samples_per_task, seed=task_seed, **kwargs
             )
             task.save_to_file(os.path.join(root, fold, f"{task.name}.jsonl.gz"))
     return root
