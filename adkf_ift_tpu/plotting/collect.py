@@ -89,6 +89,69 @@ def cross_model_table(
     return table
 
 
+def paired_gap_table(
+    run_dirs: Dict[str, str],
+    control: str = "fresh-init",
+    metric: Optional[str] = None,
+) -> pd.DataFrame:
+    """Per-arm PAIRED gap vs `control`, on identical episodes.
+
+    The eval harness derives each episode's sampler seed from
+    (task, run index) alone (train/evaluation.py), so every arm's
+    (task_name, support, seed) row scores the SAME support/query split;
+    the between-arm comparison the unpaired fold SEMs cannot resolve
+    (VERDICT r3 weak #2) is exact under pairing: for each arm, join its
+    per-episode rows with the control's on (task, support, seed), take
+    per-episode metric differences, and report mean ± SEM of the
+    differences per support size. Mirrors docs/METAGAIN.md's paired
+    protocol, now computed for the whole table at collation time.
+
+    Returns a tidy frame: model, support_size, paired_gap, paired_sem,
+    num_episodes.
+    """
+    if control not in run_dirs:
+        return pd.DataFrame()
+    key = ["task_name", "num_train_requested", "seed"]
+
+    def metric_frame(run_dir):
+        df = collect_eval_run(run_dir)
+        if df.empty:
+            return df
+        m = metric
+        if m is None:
+            m = REGRESSION_METRIC if "r2" in df.columns else CLASSIFICATION_METRIC
+        if m == CLASSIFICATION_METRIC and m not in df.columns:
+            df = df.copy()
+            df[m] = df["average_precision_score"] - df["fraction_positive_test"]
+        # Per-episode dedup (resumed evals can append duplicate rows).
+        return df.drop_duplicates(key)[key + [m]].rename(columns={m: "metric"})
+
+    ctrl = metric_frame(run_dirs[control])
+    rows = []
+    for model, run_dir in run_dirs.items():
+        if model == control:
+            continue
+        df = metric_frame(run_dir)
+        if df.empty or ctrl.empty:
+            continue
+        merged = df.merge(ctrl, on=key, suffixes=("", "_ctrl"))
+        if merged.empty:
+            continue
+        merged["diff"] = merged["metric"] - merged["metric_ctrl"]
+        for size, grp in merged.groupby("num_train_requested"):
+            d = grp["diff"].to_numpy()
+            rows.append(
+                {
+                    "model": model,
+                    "support_size": int(size),
+                    "paired_gap": float(d.mean()),
+                    "paired_sem": float(d.std(ddof=1) / max(len(d), 2) ** 0.5),
+                    "num_episodes": int(len(d)),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def plot_box_comparison(run_dirs: Dict[str, str], out_path: str, metric: Optional[str] = None):
     """Per-model box plots over tasks at each support size
     (plotting/utils.py box-plot family)."""
