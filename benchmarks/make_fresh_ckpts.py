@@ -99,7 +99,18 @@ def main():
     arms = sys.argv[1:] or ["PN", "GNN-MAML", "ADKT-VGP"]
     probe = probe_episode()
     for arm in arms:
-        out = os.path.join(TRAIN_ROOT, arm, "FSMol_train_freshinit", "best_validation")
+        # OUTSIDE the FSMol_train_* namespace: tools that glob real runs
+        # (sorted(...)[-1] pickers like walltime_zoo's fallback or
+        # pn_diag) must never silently prefer an untrained checkpoint
+        # over a later real one (ADVICE r3 #1); walltime_zoo checks this
+        # path explicitly as its LAST resort.
+        out = os.path.join(TRAIN_ROOT, arm, "freshinit", "best_validation")
+        legacy = os.path.join(TRAIN_ROOT, arm, "FSMol_train_freshinit")
+        if os.path.isdir(legacy):
+            import shutil
+
+            print(f"{arm}: migrating {legacy} -> {os.path.dirname(out)}")
+            shutil.move(legacy, os.path.dirname(out))
         if os.path.isdir(out):
             print(f"{arm}: exists {out}")
             continue
