@@ -263,3 +263,52 @@ def test_ift_cg_budget_covers_measured_worst_case():
     cfg = LBFGSConfig()
     assert cfg.ift_cg_iters >= 400
     assert cfg.ift_cg_tol <= 1e-5
+
+
+def test_ift_cg_solve_accurate_on_ill_conditioned_hessian():
+    """The constant pin above can't catch a CG-solve regression (ADVICE
+    r3 #2): under the DEFAULT budget, the matrix-free route of
+    _solve_hessian_system must match a direct solve on a synthetic
+    ill-conditioned problem shaped like the measured hard ARD tail
+    (condition ~1e6 — ard_cpu_probe's hard instance needed 333
+    iterations; a 100-iteration budget leaves ~80% error here too)."""
+    from adkf_ift_tpu.gp.fit import LBFGSConfig
+    from adkf_ift_tpu.gp.ift import DENSE_HESSIAN_MAX_DIM, _solve_hessian_system
+
+    d = 160
+    assert d > DENSE_HESSIAN_MAX_DIM  # must exercise the CG route
+    rng = np.random.RandomState(0)
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    # Condition 1e4 with a spread (logspace) spectrum: needs ~300 CG
+    # iterations to 1e-5 — the same regime as the measured hard ARD
+    # instance (333 iters) — while staying solvable inside the default
+    # 400-iteration ceiling. (A 1e6-condition spread spectrum needs
+    # ~1000+ iterations and would fail even a correct solver.)
+    lam = np.logspace(-2, 2, d)
+    h_np = (q * lam) @ q.T
+    h_np = (h_np + h_np.T) / 2
+    g_np = rng.randn(d)
+
+    cfg = LBFGSConfig()
+    with jax.enable_x64(True):
+        h = jnp.asarray(h_np, jnp.float64)
+        g = jnp.asarray(g_np, jnp.float64)
+        theta_star = jnp.zeros(d, jnp.float64)
+
+        def quad_loss(theta):
+            return 0.5 * theta @ (h @ theta)
+
+        v = _solve_hessian_system(
+            quad_loss, theta_star, g,
+            cg_iters=cfg.ift_cg_iters, cg_tol=cfg.ift_cg_tol,
+        )
+        direct = jnp.linalg.solve(h, g)
+        rel = float(jnp.linalg.norm(v - direct) / jnp.linalg.norm(direct))
+        # And the old insufficient budget really is insufficient here —
+        # i.e. this problem would CATCH a silently-reduced budget.
+        v100 = _solve_hessian_system(
+            quad_loss, theta_star, g, cg_iters=100, cg_tol=cfg.ift_cg_tol,
+        )
+        rel100 = float(jnp.linalg.norm(v100 - direct) / jnp.linalg.norm(direct))
+    assert rel < 1e-3, rel
+    assert rel100 > 10 * rel, (rel100, rel)
