@@ -24,7 +24,13 @@ def parse_command_line(argv=None) -> argparse.Namespace:
     parser.add_argument("--rel-hidden-dim", type=int, default=128)
     parser.add_argument("--rel-layer", type=int, default=2)
     parser.add_argument("--reg-adj", type=float, default=1.0)
-    parser.add_argument("--inner-lr", type=float, default=1e-3)
+    # The reference's EFFECTIVE default is 1e-1 (par_train.py:102
+    # --lr_inner overrides PARModelTrainerConfig's 1e-3); with 1e-3 and
+    # one inner step the adaptation barely moves the relation head, so
+    # predictions are nearly support-label-independent and ΔAUPRC sits
+    # at 0 (the round-3 zoo PAR row; benchmarks/par_diag.py measures the
+    # label-sensitivity collapse directly).
+    parser.add_argument("--inner-lr", type=float, default=1e-1)
     parser.add_argument("--num-inner-update-step", type=int, default=1)
     parser.add_argument("--first-order", action="store_true")
     return parser.parse_args(argv)

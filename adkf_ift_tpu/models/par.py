@@ -54,7 +54,11 @@ class PARModelConfig:
     rel_edge_layer: int = 2
     rel_res: float = 0.0
     reg_adj: float = 1.0
-    inner_learning_rate: float = 1e-3
+    # 1e-1 = the reference's effective default (par_train.py:102
+    # --lr_inner 1e-1 overrides its dataclass's 1e-3). At 1e-3 one inner
+    # SGD step cannot move the relation head enough for predictions to
+    # depend on the support labels (benchmarks/par_diag.py).
+    inner_learning_rate: float = 1e-1
     num_inner_update_step: int = 1
     second_order_maml: bool = True
 

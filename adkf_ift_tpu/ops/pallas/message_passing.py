@@ -328,7 +328,12 @@ def _mp_block_bwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref, grad,
         src_rows.append(
             jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
         )
-        mask_rows.append(jnp.dot(oh, ones_col, preferred_element_type=jnp.float32))
+        # 0/1 mask exact in the compute dtype (like the fwd): halves a
+        # lane-padded [bg, K*N, 1] live buffer — the bwd block size is
+        # VMEM-ceiling-bound (VERDICT r3 #1a).
+        mask_rows.append(
+            jnp.dot(oh, ones_col, preferred_element_type=jnp.float32).astype(compute_dtype)
+        )
     src_all = jnp.stack(src_rows)
     mask_all = jnp.stack(mask_rows)
 
