@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from adkf_ift_tpu.gp.exact import ExactGPConfig, marginal_log_likelihood
 from adkf_ift_tpu.gp.kernels import KernelConfig
-from adkf_ift_tpu.ops.eigh_small import eigh_small
 
 
 @dataclass(frozen=True)
@@ -154,10 +153,12 @@ def newton_minimize(
         x_new = jnp.where(moved, x_new, x)
         f_new = jnp.where(moved, f_new, f)
         g_new = jnp.where(moved, g_new, grad)
-        # eigh_small: unrolled Jacobi — XLA's iterative eigensolver costs
-        # hundreds of sequential ops even at 3x3, and this sits inside
-        # the per-iteration scan (ops/eigh_small.py).
-        lam_new, vecs_new = eigh_small(hess(x_new))
+        # NOTE: an unrolled-Jacobi eigh for these 3x3 Hessians
+        # (ops/eigh_small.py) was MEASURED SLOWER end-to-end on the v5e
+        # (2.01 -> 1.83 steps/s, round 4): XLA's eigh custom call beats
+        # ~50 tiny unrolled matmul/rotation ops inside this scan. Kept
+        # out of the hot path on that evidence.
+        lam_new, vecs_new = jnp.linalg.eigh(hess(x_new))
         grad_norm = jnp.max(jnp.abs(g_new))
         # Don't declare convergence on a saddle (small gradient but
         # significantly indefinite curvature) — keep escaping instead.
@@ -168,7 +169,7 @@ def newton_minimize(
         iters = iters + jnp.where(converged, 0, 1)
         return (x_new, f_new, g_new, lam_new, vecs_new, converged, iters), None
 
-    lam0, vecs0 = eigh_small(hess(x0))
+    lam0, vecs0 = jnp.linalg.eigh(hess(x0))
     converged0 = (jnp.max(jnp.abs(g0)) < config.grad_tol) & (
         lam0[0] > -1e3 * config.newton_damping
     )

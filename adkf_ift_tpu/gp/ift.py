@@ -95,9 +95,7 @@ def _solve_hessian_system(inner_loss_theta, theta_star, g,
     grad_fn = jax.grad(inner_loss_theta)
     if d <= DENSE_HESSIAN_MAX_DIM:
         h = jax.jacfwd(grad_fn)(theta_star)
-        from adkf_ift_tpu.ops.eigh_small import eigh_small
-
-        lam, vecs = eigh_small(h)
+        lam, vecs = jnp.linalg.eigh(h)
         lam_abs = jnp.maximum(jnp.abs(lam), 1e-6)
         return vecs @ ((vecs.T @ g) / lam_abs)
 

@@ -14,6 +14,14 @@ No reference counterpart: the reference's inner fits run scipy on the
 host (fs_mol/utils/adaptive_dkt_utils.py:91); this file exists because
 the compiled TPU inner loop made tiny-eigh latency visible.
 
+MEASURED RESULT (round 4, v5e bench): swapping this into the Newton
+scan + IFT dense solve took the outer step 2.01 -> 1.83 steps/s — XLA's
+eigh custom call is FASTER there than ~50 unrolled rotation ops, so the
+hot paths keep jnp.linalg.eigh and this op stays available for
+contexts where a fusable, control-flow-free eigh matters more than raw
+latency (e.g. inside Pallas-adjacent code or vmapped-many-tiny-problem
+settings).
+
 Not differentiated through (both call sites sit inside custom_vjp
 forward/backward rules), and not ordered by magnitude: eigenvalues are
 returned ASCENDING like jnp.linalg.eigh, via an argsort on d lanes.
