@@ -42,6 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 SMALL_NUMBER = 1e-7
 PNA_DELTA = 1.1515
 
+# Mosaic's default scoped-VMEM ceiling is 16 MB — a compiler default,
+# not the hardware's (v5e has 128 MB VMEM/core). The bwd kernel's live
+# set at bwd_block_graphs=4 needs ~17 MB (measured round-4 compile OOM:
+# 16.91M > 16.00M), so the kernels request a higher per-kernel limit and
+# leave the rest for the pipeline's double buffers.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 def pack_mp_params(
     gnn_params: dict,
@@ -532,6 +543,7 @@ def _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna,
         ],
         out_specs=pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(x, onehot, w_msg, b_msg, p_proj, b_proj2d)
 
 
@@ -569,6 +581,7 @@ def _bwd_call(x, onehot, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg,
             pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(x, onehot, w_msg, b_msg, p_proj, grad)
 
 
