@@ -174,8 +174,26 @@ def newton_minimize(
         lam0[0] > -1e3 * config.newton_damping
     )
     init = (x0, f0, g0, lam0, vecs0, converged0, jnp.zeros((), jnp.int32))
-    (x, f, g, _, _, _, iters), _ = jax.lax.scan(
-        step, init, None, length=config.newton_iters
+    # Early-exit while_loop instead of a fixed-trip scan: measured fits
+    # at the bench configuration converge in 7-10 of the 16 budgeted
+    # iterations, and post-convergence iterations are exact no-ops
+    # (`moved` masks every update), so the result is bit-identical while
+    # the sequential chain shortens ~40%. Legal because every caller
+    # sits inside a custom_vjp (never reverse-differentiated through);
+    # under vmap, the loop runs until the SLOWEST task in the chunk
+    # converges (converged lanes stay no-ops).
+
+    def cond_fn(state):
+        carry, k = state
+        return (k < config.newton_iters) & ~jnp.all(carry[5])
+
+    def body_fn(state):
+        carry, k = state
+        new_carry, _ = step(carry, None)
+        return new_carry, k + 1
+
+    (x, f, g, _, _, _, iters), _ = jax.lax.while_loop(
+        cond_fn, body_fn, (init, jnp.zeros((), jnp.int32))
     )
     return LBFGSResult(x=x, value=f, grad_norm=jnp.max(jnp.abs(g)), iterations=iters)
 
@@ -314,7 +332,22 @@ def lbfgs_minimize(
         jnp.max(jnp.abs(g0)) < config.grad_tol,
         jnp.zeros((), jnp.int32),
     )
-    (x, f, g, *_rest, iters), _ = jax.lax.scan(step, init, None, length=config.max_iters)
+
+    # Early-exit while_loop (see newton_minimize: bit-identical to the
+    # fixed-trip scan, shorter sequential chain; safe — all callers are
+    # custom_vjp forwards).
+    def cond_fn(state):
+        carry, k = state
+        return (k < config.max_iters) & ~jnp.all(carry[8])
+
+    def body_fn(state):
+        carry, k = state
+        new_carry, _ = step(carry, None)
+        return new_carry, k + 1
+
+    (x, f, g, *_rest, iters), _ = jax.lax.while_loop(
+        cond_fn, body_fn, (init, jnp.zeros((), jnp.int32))
+    )
     return LBFGSResult(x=x, value=f, grad_norm=jnp.max(jnp.abs(g)), iterations=iters)
 
 
