@@ -141,6 +141,13 @@ def main():
         cfn = jax.jit(chained)
         ms = timed(cfn, jax.device_put(xin), reps=args.reps)
         print(f"{name:7s} {layers}x MP+proj forward {ms:8.2f} ms", flush=True)
+        # GRAD=1: fwd+bwd of the same chain wrt x (the step-time shape:
+        # custom_vjp backward per layer incl. in-VMEM recompute). Used to
+        # attribute the outer step's encoder share (round-4 perf hunt).
+        if os.environ.get("GRAD", "0") == "1":
+            gfn = jax.jit(jax.grad(chained))
+            ms = timed(gfn, jax.device_put(xin), reps=args.reps)
+            print(f"{name:7s} {layers}x MP+proj fwd+bwd {ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
