@@ -145,7 +145,11 @@ def main():
         # custom_vjp backward per layer incl. in-VMEM recompute). Used to
         # attribute the outer step's encoder share (round-4 perf hunt).
         if os.environ.get("GRAD", "0") == "1":
-            gfn = jax.jit(jax.grad(chained))
+            # Reduce the gradient to a scalar INSIDE the jit: returning
+            # the full [G, N, H] cotangent would add a ~13 MB d2h
+            # transfer per rep on the ~35 MB/s tunnel and swamp the
+            # kernel timing.
+            gfn = jax.jit(lambda x: jnp.sum(jax.grad(chained)(x)))
             ms = timed(gfn, jax.device_put(xin), reps=args.reps)
             print(f"{name:7s} {layers}x MP+proj fwd+bwd {ms:8.2f} ms", flush=True)
 
