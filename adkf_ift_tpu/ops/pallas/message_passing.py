@@ -130,7 +130,8 @@ def pack_mp_params(
     )
 
 
-def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
+def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
+                  w_msg_ref, b_msg_ref, p_proj_ref,
                   b_proj_ref, k_per_type, use_pna, compute_dtype):
     """Fused MP + projection for a WHOLE graph block on VMEM values.
 
@@ -138,6 +139,11 @@ def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
     graphs); messages, aggregation, and projection are batched over all
     bg*N rows so each matmul is MXU-sized ([bg*N, 2H] @ [2H, F] per edge
     slot instead of bg tiny [N, 2H] matmuls — 16x fewer, 16x fatter).
+    The slot masks and node degrees are STATIC per episode and arrive as
+    inputs (mask_block [bg, K*N, 1], deg_block [bg, N, 1]) computed once
+    by XLA — round-4 measurement put the fused MP kernel at ~87% of the
+    outer step with per-graph small matmuls the prime cost, so the
+    in-kernel per-graph mask matmuls were removed.
     Returns the pre-residual update [bg, N, H] f32 (incl. projection bias).
     """
     bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
@@ -147,22 +153,16 @@ def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
     x_cd = x_block.astype(compute_dtype)
     x_flat = x_cd.reshape(bg * n, h)
 
-    # Per-graph gathers (block-diagonal): [K*N, N] @ [N, H]; masks from
-    # the one-hot's row sums — no relayouts anywhere.
-    ones_col = jnp.ones((n, 1), compute_dtype)
-    src_rows, mask_rows = [], []
+    # Per-graph gathers (block-diagonal): [K*N, N] @ [N, H] — no relayouts.
+    src_rows = []
     for g in range(bg):
         oh = onehot_block[g].astype(compute_dtype)
         src_rows.append(
             jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
         )  # [K*N, H]
-        # 0/1 mask is exact in the compute dtype; keeping it narrow halves
-        # a lane-padded [bg, K*N, 1] VMEM buffer.
-        mask_rows.append(
-            jnp.dot(oh, ones_col, preferred_element_type=jnp.float32).astype(compute_dtype)
-        )
     src_all = jnp.stack(src_rows)    # [bg, K*N, H]
-    mask_all = jnp.stack(mask_rows)  # [bg, K*N, 1]
+    mask_all = mask_block            # [bg, K*N, 1] 0/1, compute dtype
+    deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
     # Messages per slot, batched over graphs: ONE matmul per slot. The
     # slot mask is folded INTO the stored message (relu output >= 0, so
@@ -171,7 +171,7 @@ def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
     # and the message is stored in the compute dtype: this removes the
     # K lane-padded [bg*N, 1] mask buffers and halves the dominant VMEM
     # live set vs keeping raw f32 messages + masks.
-    mm, deg = [], jnp.zeros((bg * n, 1), jnp.float32)
+    mm = []
     for k in range(k_tot):
         pair = jnp.concatenate(
             [src_all[:, k * n : (k + 1) * n].reshape(bg * n, h), x_flat], axis=1
@@ -186,7 +186,6 @@ def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
         )
         mk = mask_all[:, k * n : (k + 1) * n].reshape(bg * n, 1)
         mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
-        deg = deg + mk
 
     # Masked aggregation over the K slots (static unroll) on [bg*N, F]:
     #   sum  = sum_k mm_k                       (mask already folded)
@@ -236,6 +235,8 @@ def _mp_block_fwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref,
 def _mp_kernel(
     x_ref,        # [BG, N, H]
     onehot_ref,   # [BG, K*N, N] — host-prebuilt masked one-hot gather
+    mask_ref,     # [BG, K*N, 1] — static slot masks (XLA-precomputed)
+    deg_ref,      # [BG, N, 1] — static node degrees
     w_msg_ref,    # [T, 2H, F]
     b_msg_ref,    # [T, F]
     p_proj_ref,   # [B4, F, H]
@@ -248,7 +249,8 @@ def _mp_kernel(
     compute_dtype,
 ):
     out = _mp_block_fwd(
-        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
     out_ref[...] = out.astype(out_ref.dtype)
@@ -275,6 +277,8 @@ def slot_minor_onehot(in_src, in_mask, dtype=jnp.bfloat16) -> jnp.ndarray:
 def _mp_bwd_kernel(
     x_ref,        # [BG, N, H]
     onehot_ref,   # [BG, K*N, N]
+    mask_ref,     # [BG, K*N, 1]
+    deg_ref,      # [BG, N, 1]
     w_msg_ref,    # [T, 2H, F]
     b_msg_ref,    # [T, F]
     p_proj_ref,   # [B4, F, H]
@@ -302,7 +306,8 @@ def _mp_bwd_kernel(
         db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
 
     dx = _mp_block_bwd(
-        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref,
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        w_msg_ref, b_msg_ref, p_proj_ref,
         g_ref[...].astype(jnp.float32),
         dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
         k_per_type, use_pna, compute_dtype,
@@ -310,13 +315,15 @@ def _mp_bwd_kernel(
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _mp_block_bwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref, grad,
+def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
+                  w_msg_ref, b_msg_ref, p_proj_ref, grad,
                   dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
                   k_per_type, use_pna, compute_dtype):
     """Whole-block MP backward on VMEM values: recomputes the forward
     intermediates (batched like _mp_block_fwd), accumulates weight grads
     into the passed refs, and returns dx [bg, N, H] f32. `grad` is the
-    upstream cotangent [bg, N, H] f32."""
+    upstream cotangent [bg, N, H] f32. Slot masks / degrees are static
+    inputs (see _mp_block_fwd)."""
     bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
     f = w_msg_ref.shape[2]
     k_tot = sum(k_per_type)
@@ -332,28 +339,22 @@ def _mp_block_bwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref, grad,
     # re-sliced from src_all on demand instead of being stored, and the
     # relu gate is recovered as mm_k > 0, which kills every contribution
     # from masked-out or relu-dead slots) ----
-    ones_col = jnp.ones((n, 1), compute_dtype)
-    src_rows, mask_rows = [], []
+    src_rows = []
     for g in range(bg):
         oh = onehot_block[g].astype(compute_dtype)
         src_rows.append(
             jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
         )
-        # 0/1 mask exact in the compute dtype (like the fwd): halves a
-        # lane-padded [bg, K*N, 1] live buffer — the bwd block size is
-        # VMEM-ceiling-bound (VERDICT r3 #1a).
-        mask_rows.append(
-            jnp.dot(oh, ones_col, preferred_element_type=jnp.float32).astype(compute_dtype)
-        )
     src_all = jnp.stack(src_rows)
-    mask_all = jnp.stack(mask_rows)
+    mask_all = mask_block
+    deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
     def pair_of(k):
         return jnp.concatenate(
             [src_all[:, k * n : (k + 1) * n].reshape(bg * n, h), x_flat], axis=1
         )
 
-    mm, deg = [], jnp.zeros((bg * n, 1), jnp.float32)
+    mm = []
     for k in range(k_tot):
         raw = (
             jnp.dot(
@@ -365,7 +366,6 @@ def _mp_block_bwd(x_block, onehot_block, w_msg_ref, b_msg_ref, p_proj_ref, grad,
         )
         mk = mask_all[:, k * n : (k + 1) * n].reshape(bg * n, 1)
         mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
-        deg = deg + mk
 
     s_acc = jnp.zeros((bg * n, f), jnp.float32)
     x_agg = jnp.zeros((bg * n, f), jnp.float32)
@@ -517,14 +517,29 @@ def fused_multiaggr_mp(
         bg_bwd = min(bwd_block_graphs, bg)
     if bg % bg_bwd:
         raise ValueError(f"bwd_block_graphs {bg_bwd} must divide block_graphs {bg}")
+    # Static per-episode slot masks / node degrees, computed ONCE by XLA
+    # (each one-hot row holds at most a single 1, so the reductions are
+    # exact in any dtype) and fed to the kernels as inputs — removes one
+    # per-graph [K*N, N] @ [N, 1] matmul from the fwd kernel and one from
+    # the bwd recompute (measured round 4: the fused MP kernel is ~87% of
+    # the outer step, dominated by per-graph small matmuls). XLA CSEs
+    # these across the encoder's layers (same onehot operand).
+    k_tot = sum(k_per_type)
+    mask = jnp.sum(onehot.astype(jnp.float32), axis=2, keepdims=True)  # [G, K*N, 1]
+    deg = (
+        jnp.sum(mask.reshape(mask.shape[0], k_tot, n), axis=1)
+        .reshape(mask.shape[0], n, 1)
+        .astype(jnp.float32)
+    )
+    mask = mask.astype(compute_dtype)
     op = _make_op(
         tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
-    out = op(x, onehot, w_msg, b_msg, p_proj, b_proj.reshape(1, -1))
+    out = op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj.reshape(1, -1))
     return out[:g]
 
 
-def _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna, bg, interpret, compute_dtype):
+def _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna, bg, interpret, compute_dtype):
     gp, n, h = x.shape
     kernel = functools.partial(
         _mp_kernel, bg=bg, k_per_type=k_per_type, use_pna=use_pna, compute_dtype=compute_dtype
@@ -536,6 +551,8 @@ def _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna,
         in_specs=[
             pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + onehot.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + mask.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + deg.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w_msg.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b_msg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(p_proj.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -544,10 +561,10 @@ def _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna,
         out_specs=pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
         compiler_params=_compiler_params(),
-    )(x, onehot, w_msg, b_msg, p_proj, b_proj2d)
+    )(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d)
 
 
-def _bwd_call(x, onehot, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg, interpret, compute_dtype):
+def _bwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg, interpret, compute_dtype):
     gp, n, h = x.shape
     kernel = functools.partial(
         _mp_bwd_kernel, bg=bg, k_per_type=k_per_type, use_pna=use_pna, compute_dtype=compute_dtype
@@ -568,6 +585,8 @@ def _bwd_call(x, onehot, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg,
         in_specs=[
             pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + mask.shape[1:], blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + deg.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
             pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),
@@ -582,7 +601,7 @@ def _bwd_call(x, onehot, w_msg, b_msg, p_proj, grad, *, k_per_type, use_pna, bg,
         ),
         interpret=interpret,
         compiler_params=_compiler_params(),
-    )(x, onehot, w_msg, b_msg, p_proj, grad)
+    )(x, onehot, mask, deg, w_msg, b_msg, p_proj, grad)
 
 
 @functools.lru_cache(maxsize=64)
@@ -599,21 +618,23 @@ def _make_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_name):
     static_bwd = dict(static, bg=bg_bwd)
 
     @jax.custom_vjp
-    def op(x, onehot, w_msg, b_msg, p_proj, b_proj2d):
-        return _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, **static)
+    def op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
+        return _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
 
-    def fwd(x, onehot, w_msg, b_msg, p_proj, b_proj2d):
-        out = _fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, **static)
-        return out, (x, onehot, w_msg, b_msg, p_proj)
+    def fwd(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
+        out = _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
+        return out, (x, onehot, mask, deg, w_msg, b_msg, p_proj)
 
     def bwd(res, grad):
-        x, onehot, w_msg, b_msg, p_proj = res
+        x, onehot, mask, deg, w_msg, b_msg, p_proj = res
         dx, dw_msg, db_msg, dp_proj, db_proj = _bwd_call(
-            x, onehot, w_msg, b_msg, p_proj, grad, **static_bwd
+            x, onehot, mask, deg, w_msg, b_msg, p_proj, grad, **static_bwd
         )
         return (
             dx.astype(x.dtype),
             jnp.zeros_like(onehot),
+            jnp.zeros_like(mask),
+            jnp.zeros_like(deg),
             dw_msg.astype(w_msg.dtype),
             db_msg.astype(b_msg.dtype),
             dp_proj.astype(p_proj.dtype),
@@ -676,7 +697,7 @@ def _boom_graph_fwd(x1, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_re
 
 
 def _block_kernel(
-    x_ref, onehot_ref, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+    x_ref, onehot_ref, mask_ref, deg_ref, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
     alpha_ref,      # [1, 1] f32
     ln_scale_ref, ln_bias_ref,  # [1, H]
     w1_ref, b1_ref, w2_ref, b2_ref,  # [H, I], [1, I], [I, H], [1, H]
@@ -686,7 +707,8 @@ def _block_kernel(
     alpha = alpha_ref[0, 0]
     n, h = x_ref.shape[1], x_ref.shape[2]
     m = _mp_block_fwd(
-        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
     # Match the unfused path's numerics: the update passes through the
@@ -701,7 +723,7 @@ def _block_kernel(
 
 
 def _block_bwd_kernel(
-    x_ref, onehot_ref, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+    x_ref, onehot_ref, mask_ref, deg_ref, w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
     alpha_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     g_ref,
     dx_ref, dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
@@ -733,7 +755,8 @@ def _block_bwd_kernel(
     # over all bg*N rows (MXU-sized matmuls), then feed per-graph dm back
     # through the MP backward.
     m_all = _mp_block_fwd(
-        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     ).astype(compute_dtype).astype(jnp.float32).reshape(bg * n, h)
     x_all = x_ref[...].astype(jnp.float32).reshape(bg * n, h)
@@ -782,7 +805,8 @@ def _block_bwd_kernel(
     dm = alpha * dx1
 
     dx_mp = _mp_block_bwd(
-        x_ref[...], onehot_ref[...], w_msg_ref, b_msg_ref, p_proj_ref,
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        w_msg_ref, b_msg_ref, p_proj_ref,
         dm.reshape(bg, n, h), dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
@@ -819,11 +843,20 @@ def fused_gnn_block(
         bg_bwd = min(bwd_block_graphs, bg)
     if bg % bg_bwd:
         raise ValueError(f"bwd_block_graphs {bg_bwd} must divide block_graphs {bg}")
+    # Static slot masks / degrees as kernel inputs (see fused_multiaggr_mp).
+    k_tot = sum(k_per_type)
+    mask = jnp.sum(onehot.astype(jnp.float32), axis=2, keepdims=True)
+    deg = (
+        jnp.sum(mask.reshape(mask.shape[0], k_tot, n), axis=1)
+        .reshape(mask.shape[0], n, 1)
+        .astype(jnp.float32)
+    )
+    mask = mask.astype(compute_dtype)
     op = _make_block_op(
         tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
     out = op(
-        x, onehot, w_msg, b_msg, p_proj, b_proj.reshape(1, -1),
+        x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj.reshape(1, -1),
         jnp.asarray(alpha, jnp.float32).reshape(1, 1),
         ln_scale, ln_bias, w1, b1, w2, b2,
     )
@@ -835,9 +868,12 @@ def _block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim):
     fixed = lambda idx: (0, 0)
     fixed3 = lambda idx: (0, 0, 0)
     n = x.shape[1]
+    k_tot_n = onehot.shape[1]
     return [
         pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
         pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bg, k_tot_n, 1), blocked, memory_space=pltpu.VMEM),  # mask
+        pl.BlockSpec((bg, n, 1), blocked, memory_space=pltpu.VMEM),        # deg
         pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
         pl.BlockSpec(b_msg.shape, fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec(p_proj.shape, fixed3, memory_space=pltpu.VMEM),
@@ -860,7 +896,7 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
     )
     static_bwd = dict(static, bg=bg_bwd)
 
-    def fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+    def fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
                  ln_scale, ln_bias, w1, b1, w2, b2):
         gp, n, h = x.shape
         i_dim = w1.shape[1]
@@ -872,10 +908,11 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
             in_specs=_block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim),
             out_specs=pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+            compiler_params=_compiler_params(),
+        )(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
           ln_scale, ln_bias, w1, b1, w2, b2)
 
-    def bwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+    def bwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
                  ln_scale, ln_bias, w1, b1, w2, b2, grad):
         gp, n, h = x.shape
         i_dim = w1.shape[1]
@@ -918,29 +955,32 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
                 pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+            compiler_params=_compiler_params(),
+        )(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
           ln_scale, ln_bias, w1, b1, w2, b2, grad)
 
     @jax.custom_vjp
-    def op(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+    def op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
            ln_scale, ln_bias, w1, b1, w2, b2):
-        return fwd_call(x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+        return fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
                         ln_scale, ln_bias, w1, b1, w2, b2)
 
     def fwd(*args):
         return fwd_call(*args), args
 
     def bwd(res, grad):
-        (x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+        (x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
          ln_scale, ln_bias, w1, b1, w2, b2) = res
         (dx, dw_msg, db_msg, dp_proj, db_proj, dalpha,
          dln_scale, dln_bias, dw1, db1, dw2, db2) = bwd_call(
-            x, onehot, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+            x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
             ln_scale, ln_bias, w1, b1, w2, b2, grad,
         )
         return (
             dx.astype(x.dtype),
             jnp.zeros_like(onehot),
+            jnp.zeros_like(mask),
+            jnp.zeros_like(deg),
             dw_msg.astype(w_msg.dtype),
             db_msg.astype(b_msg.dtype),
             dp_proj.astype(p_proj.dtype),
