@@ -86,7 +86,9 @@ def make_predict_fn(kind: str, config, regression: bool = False) -> Callable:
     # codec per predict_fn keeps the jitted signature stable across
     # episodes (value-dependent dtypes would recompile mid-sweep).
     codec = WireCodec(sparse_counts_budget=192)
-    jitted = jax.jit(lambda p, e: raw(p, decompress_batch(e)))
+    from adkf_ift_tpu.utils.compile_opts import xla_compiler_options
+    jitted = jax.jit(lambda p, e: raw(p, decompress_batch(e)),
+                     compiler_options=xla_compiler_options())
 
     def predict(params, episode: Episode) -> np.ndarray:
         out = np.asarray(jitted(params, codec.compress(episode)), np.float64)

@@ -18,6 +18,7 @@ from jax.sharding import Mesh
 
 from adkf_ift_tpu.data.episodes import Episode
 from adkf_ift_tpu.parallel.mesh import episode_batch_sharding, replicated_sharding
+from adkf_ift_tpu.utils.compile_opts import xla_compiler_options
 
 
 class MetaTrainState(NamedTuple):
@@ -160,7 +161,8 @@ def make_meta_train_step(
             grads, losses = accumulate(state.params, episode_batch, task_chunk)
             return apply_update(state, grads, losses, n_tasks)
 
-        return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+        return jax.jit(step, donate_argnums=(0,) if donate_state else (),
+                       compiler_options=xla_compiler_options())
 
     # Mesh path: shard_map over the task axis. Each device accumulates
     # grads over its LOCAL episodes (flat-chunk encoding included — the
@@ -235,7 +237,7 @@ def make_meta_grads_fn(
             grads, losses = accumulate(params, episode_batch, task_chunk)
             return jax.tree.map(lambda g: g / n_tasks, grads), losses
 
-        return jax.jit(grads_fn)
+        return jax.jit(grads_fn, compiler_options=xla_compiler_options())
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
