@@ -163,6 +163,15 @@ def _prefit_kernel(
     return kernel_raw, elbo_ls_loc
 
 
+def _episode_vgp_config(config: ADKTVGPModelConfig, fs: jnp.ndarray) -> VGPConfig:
+    """The VGP with num_inducing = the EPISODE's (static) padded support
+    size. The reference's inducing set is simply the support features and
+    varies per episode (adaptive_dkt_vgp.py:90-123); pinning it to the
+    train-time support_size broke every eval/validation at a different
+    support size (shape (32,) vs (16,) — round-4 zoo run)."""
+    return replace(config.vgp_config, num_inducing=int(fs.shape[0]))
+
+
 def inner_fit(
     config: ADKTVGPModelConfig,
     fs: jnp.ndarray,
@@ -170,9 +179,10 @@ def inner_fit(
     mask: jnp.ndarray,
 ) -> jnp.ndarray:
     kernel_raw, elbo_ls_loc = _prefit_kernel(config, fs, ys_pm1, mask)
-    init_flat = init_vgp_flat(config.vgp_config, kernel_raw)
+    vgp_cfg = _episode_vgp_config(config, fs)
+    init_flat = init_vgp_flat(vgp_cfg, kernel_raw)
     return fit_vgp_implicit(
-        config.vgp_config,
+        vgp_cfg,
         config.inner_optimizer,
         config.ignore_grad_correction,
         fs,
@@ -191,7 +201,7 @@ def episode_outer_loss(config: ADKTVGPModelConfig, encoder_params, episode: Epis
     s_mask, q_mask = episode.support.graph_mask, episode.query.graph_mask
 
     theta = inner_fit(config, fs, ys, s_mask)
-    mu, var = vgp_predict(config.vgp_config, theta, fs, fq, s_mask)
+    mu, var = vgp_predict(_episode_vgp_config(config, fs), theta, fs, fq, s_mask)
     logp = bernoulli_marginal_log_prob(mu, var, yq)
     return -jnp.sum(logp * q_mask)
 
@@ -200,7 +210,9 @@ def episode_predict(config: ADKTVGPModelConfig, encoder_params, episode: Episode
     encoder = make_encoder(config)
     fs, fq = encoder.apply_pair(encoder_params, episode.support, episode.query)
     theta = inner_fit(config, fs, episode.support_labels, episode.support.graph_mask)
-    mu, var = vgp_predict(config.vgp_config, theta, fs, fq, episode.support.graph_mask)
+    mu, var = vgp_predict(
+        _episode_vgp_config(config, fs), theta, fs, fq, episode.support.graph_mask
+    )
     return ADKTVGPPrediction(
         probs=bernoulli_marginal_probs(mu, var), mean=mu, variance=var
     )
