@@ -16,14 +16,18 @@ the quirks recorded in CLAUDE.md):
     (row) slice — no 32-wide lane slicing anywhere;
   * gathers are one-hot [K*N, N] @ [N, H] matmuls (no dynamic_slice on
     values);
-  * the message MLPs of all towers run as ONE matmul per edge type
-    against a host-packed block-diagonal weight [2H, towers*3m];
+  * the message MLPs run as TWO matmuls per edge type (source half over
+    the type's whole contiguous slot segment, target half shared by all
+    its slots) against a host-packed block-diagonal weight [2H, F] —
+    round-4: the kernel is op-issue-bound (docs/MFU.md), so fewer,
+    fatter matmuls are the lever (33 -> 18 per block fwd);
   * aggregation is a static unrolled loop over K slots of [N, F]
-    elementwise ops;
-  * the output projection is folded into 12 matmuls (4 aggregation
-    sources x 3 PNA scaler branches) against host-packed slices of the
-    flax msg_out_projection kernel — PNA's per-node scalers commute
-    through the projection as row scalings (diag(a) S) P = a * (S P).
+    elementwise ops; slot masks/degrees are static per episode and
+    arrive as XLA-precomputed inputs;
+  * the output projection is 4 matmuls (one per aggregation source,
+    PNA branches stacked in H-aligned lanes of the packed weight) —
+    PNA's per-node scalers commute through the projection as row
+    scalings (diag(a) S) P = a * (S P).
 
 Parity: matches DenseRelationalMultiAggrMP + msg_out_projection
 (modules/gnn.py) under the same flax parameters (see tests).
@@ -71,8 +75,13 @@ def pack_mp_params(
     gradients automatically.
 
     Returns (w_msg [T, 2H, towers*3m], b_msg [T, towers*3m],
-             p_proj [12 or 4, towers*3m, H] ordered
-             [base|amp|att] x [sum, mean, std, max], b_proj [H]).
+             p_proj [4, towers*3m, branches*H] ordered
+             [sum, mean, std, max] x lanes [base|amp|att], b_proj [H]).
+    The PNA branches live in the LANE dimension (H-aligned slices) so
+    the kernel projects each aggregation source with ONE [*, F] @
+    [F, 3H] matmul instead of three [F, H] ones — the round-4 perf hunt
+    showed the kernel is op-issue-bound (docs/MFU.md), so fewer/fatter
+    matmuls is the lever.
     """
     m = per_head_dim
     td = hidden_dim // towers
@@ -107,7 +116,7 @@ def pack_mp_params(
     h_out = wp.shape[1]
     n_branch = 3 if use_pna_scalers else 1
     tower_w = 4 * m * n_branch
-    p_proj = jnp.zeros((4 * n_branch, f, h_out), jnp.float32)
+    p_proj = jnp.zeros((4, f, n_branch * h_out), jnp.float32)
     for br in range(n_branch):
         for tw in range(towers):
             for j, agg in enumerate(("sum", "mean", "std", "max")):
@@ -117,7 +126,8 @@ def pack_mp_params(
                 # max part2 of each tower's 3m block.
                 part = {"sum": 0, "mean": 1, "std": 1, "max": 2}[agg]
                 src_rows = slice(tw * 3 * m + part * m, tw * 3 * m + (part + 1) * m)
-                p_proj = p_proj.at[br * 4 + j, src_rows].set(wp[row0 : row0 + m])
+                cols = slice(br * h_out, (br + 1) * h_out)
+                p_proj = p_proj.at[j, src_rows, cols].set(wp[row0 : row0 + m])
     if "bias" in gnn_params["msg_out_projection"]:
         b_proj = jnp.asarray(gnn_params["msg_out_projection"]["bias"], jnp.float32)
     else:
@@ -149,7 +159,6 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
     bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
     f = w_msg_ref.shape[2]
     k_tot = sum(k_per_type)
-    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
     x_cd = x_block.astype(compute_dtype)
     x_flat = x_cd.reshape(bg * n, h)
 
@@ -164,28 +173,30 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
     mask_all = mask_block            # [bg, K*N, 1] 0/1, compute dtype
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
-    # Messages per slot, batched over graphs: ONE matmul per slot. The
-    # slot mask is folded INTO the stored message (relu output >= 0, so
-    # masked sum / max / variance over mm_k := mask_k * relu(raw_k) are
-    # EXACTLY the reference's masked aggregates — see aggregation below)
-    # and the message is stored in the compute dtype: this removes the
-    # K lane-padded [bg*N, 1] mask buffers and halves the dominant VMEM
-    # live set vs keeping raw f32 messages + masks.
+    # Messages: TWO matmuls per EDGE TYPE instead of one per slot (the
+    # kernel is op-issue-bound, docs/MFU.md round 4). The message weight
+    # [2H, F] splits into a source half and a target half; the target-x
+    # contribution is slot-independent (one [bg*N, H] @ [H, F] per type)
+    # and the source half multiplies ALL of a type's slots at once
+    # ([bg·k_t·N, H] @ [H, F] over src_all's contiguous type segment).
+    # The slot mask is folded INTO the stored message (relu output >= 0,
+    # so masked sum / max / variance over mm_k := mask_k * relu(raw_k)
+    # are EXACTLY the reference's masked aggregates — see aggregation),
+    # and messages are stored in the compute dtype.
     mm = []
-    for k in range(k_tot):
-        pair = jnp.concatenate(
-            [src_all[:, k * n : (k + 1) * n].reshape(bg * n, h), x_flat], axis=1
-        )  # [bg*N, 2H]
-        raw = (
-            jnp.dot(
-                pair,
-                w_msg_ref[type_of_slot[k]].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + b_msg_ref[type_of_slot[k]][None, :]
+    start = 0
+    for t, kt in enumerate(k_per_type):
+        w_t = w_msg_ref[t].astype(compute_dtype)  # [2H, F]
+        xw_t = jnp.dot(x_flat, w_t[h:], preferred_element_type=jnp.float32)
+        seg = src_all[:, start * n : (start + kt) * n].reshape(bg * kt * n, h)
+        sw_t = jnp.dot(seg, w_t[:h], preferred_element_type=jnp.float32).reshape(
+            bg, kt * n, f
         )
-        mk = mask_all[:, k * n : (k + 1) * n].reshape(bg * n, 1)
-        mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
+        for s in range(kt):
+            raw = sw_t[:, s * n : (s + 1) * n].reshape(bg * n, f) + xw_t + b_msg_ref[t][None, :]
+            mk = mask_all[:, (start + s) * n : (start + s + 1) * n].reshape(bg * n, 1)
+            mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
+        start += kt
 
     # Masked aggregation over the K slots (static unroll) on [bg*N, F]:
     #   sum  = sum_k mm_k                       (mask already folded)
@@ -208,27 +219,24 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
         var = var + jnp.maximum(mk32 * mk32 - mean * mean, 0.0)
     std = jnp.where(var > 0.0, jnp.sqrt(jnp.where(var > 0.0, var, 1.0)), 0.0)
 
+    # Projection: ONE [bg*N, F] @ [F, branches*H] matmul per aggregation
+    # source (branches live in H-aligned lane slices of p_proj), then the
+    # PNA scalers weight the branch slices. 4 matmuls instead of 12 —
+    # the kernel is op-issue-bound (docs/MFU.md round 4).
     sources = (s_acc, mean, std, x_agg)
-    out = jnp.zeros((bg * n, h), jnp.float32)
+    wide = jnp.zeros((bg * n, p_proj_ref.shape[2]), jnp.float32)
     for j in range(4):
-        out = out + jnp.dot(
+        wide = wide + jnp.dot(
             sources[j].astype(compute_dtype),
             p_proj_ref[j].astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
+    out = wide[:, :h]
     if use_pna:
         log_deg = jnp.log(deg + 1.0)
         amp = log_deg / PNA_DELTA
         att = PNA_DELTA / (log_deg + SMALL_NUMBER)
-        for br, scale in ((1, amp), (2, att)):
-            part = jnp.zeros((bg * n, h), jnp.float32)
-            for j in range(4):
-                part = part + jnp.dot(
-                    sources[j].astype(compute_dtype),
-                    p_proj_ref[br * 4 + j].astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-            out = out + scale * part
+        out = out + amp * wide[:, h : 2 * h] + att * wide[:, 2 * h :]
     return (out + b_proj_ref[0][None, :]).reshape(bg, n, h)
 
 
@@ -327,7 +335,6 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
     f = w_msg_ref.shape[2]
     k_tot = sum(k_per_type)
-    type_of_slot = [t for t, kt in enumerate(k_per_type) for _ in range(kt)]
     n_branch = 3 if use_pna else 1
 
     x_cd = x_block.astype(compute_dtype)
@@ -349,23 +356,20 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     mask_all = mask_block
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
-    def pair_of(k):
-        return jnp.concatenate(
-            [src_all[:, k * n : (k + 1) * n].reshape(bg * n, h), x_flat], axis=1
-        )
-
     mm = []
-    for k in range(k_tot):
-        raw = (
-            jnp.dot(
-                pair_of(k),
-                w_msg_ref[type_of_slot[k]].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + b_msg_ref[type_of_slot[k]][None, :]
+    start = 0
+    for t, kt in enumerate(k_per_type):
+        w_t = w_msg_ref[t].astype(compute_dtype)
+        xw_t = jnp.dot(x_flat, w_t[h:], preferred_element_type=jnp.float32)
+        seg = src_all[:, start * n : (start + kt) * n].reshape(bg * kt * n, h)
+        sw_t = jnp.dot(seg, w_t[:h], preferred_element_type=jnp.float32).reshape(
+            bg, kt * n, f
         )
-        mk = mask_all[:, k * n : (k + 1) * n].reshape(bg * n, 1)
-        mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
+        for s in range(kt):
+            raw = sw_t[:, s * n : (s + 1) * n].reshape(bg * n, f) + xw_t + b_msg_ref[t][None, :]
+            mk = mask_all[:, (start + s) * n : (start + s + 1) * n].reshape(bg * n, 1)
+            mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
+        start += kt
 
     s_acc = jnp.zeros((bg * n, f), jnp.float32)
     x_agg = jnp.zeros((bg * n, f), jnp.float32)
@@ -394,21 +398,26 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     else:
         scales = (jnp.ones((bg * n, 1), jnp.float32),)
 
-    d_src = [jnp.zeros((bg * n, f), jnp.float32) for _ in range(4)]
-    for br in range(n_branch):
-        sg = (scales[br] * grad_flat).astype(compute_dtype)  # [bg*N, H]
-        for j in range(4):
-            dp = jax.lax.dot_general(
-                sources[j].astype(compute_dtype), sg,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp_proj_ref[br * 4 + j] += dp
-            d_src[j] = d_src[j] + jax.lax.dot_general(
-                sg, p_proj_ref[br * 4 + j].astype(compute_dtype),
+    # Branch-concatenated upstream grad [bg*N, branches*H]: one weight-
+    # grad and one source-grad matmul per aggregation source (see the
+    # fwd's wide projection; lane slices are H-aligned).
+    sg_cat = jnp.concatenate(
+        [(scales[br] * grad_flat) for br in range(n_branch)], axis=1
+    ).astype(compute_dtype)
+    d_src = []
+    for j in range(4):
+        dp_proj_ref[j] += jax.lax.dot_general(
+            sources[j].astype(compute_dtype), sg_cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_src.append(
+            jax.lax.dot_general(
+                sg_cat, p_proj_ref[j].astype(compute_dtype),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        )
     db_proj_ref[0, :] += jnp.sum(grad_flat, axis=0)
 
     d_sum, d_mean_direct, d_std, d_max = d_src
@@ -430,44 +439,64 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     d_s_from_mean = d_mean / denom
     tie_den = jnp.maximum(tie_count, 1.0)
 
+    # Per-TYPE batched message backward (mirrors the fwd split; the
+    # kernel is op-issue-bound): the per-slot d_raw cotangents of one
+    # type concatenate into that type's contiguous src segment order, so
+    # the weight/source/x grads are 4 matmuls per type instead of 2 per
+    # slot.
     dx_flat = jnp.zeros((bg * n, h), jnp.float32)
-    d_src_slots = []  # per-slot d(src_states) [bg*N, H] compute-dtype
-    for k in range(k_tot):
-        mk32 = mm[k].astype(jnp.float32)
-        ind = ((mk32 * mk32 - mean * mean) > 0.0).astype(jnp.float32)
-        d_msg = (
-            d_sum
-            + d_s_from_mean
-            + dvar * ind * 2.0 * mk32
-            + (mk32 == x_agg).astype(jnp.float32) / tie_den * d_max
-        )
-        d_raw = jnp.where(mk32 > 0.0, d_msg, 0.0).astype(compute_dtype)
-        t = type_of_slot[k]
-        dw_msg_ref[t] += jax.lax.dot_general(
-            pair_of(k), d_raw,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+    d_src_parts = []  # per type: [bg, k_t*N, H] compute-dtype
+    start = 0
+    for t, kt in enumerate(k_per_type):
+        w_t = w_msg_ref[t].astype(compute_dtype)
+        d_raws = []
+        d_sum_t = jnp.zeros((bg * n, f), jnp.float32)
+        for s in range(kt):
+            mk32 = mm[start + s].astype(jnp.float32)
+            ind = ((mk32 * mk32 - mean * mean) > 0.0).astype(jnp.float32)
+            d_msg = (
+                d_sum
+                + d_s_from_mean
+                + dvar * ind * 2.0 * mk32
+                + (mk32 == x_agg).astype(jnp.float32) / tie_den * d_max
+            )
+            d_raw = jnp.where(mk32 > 0.0, d_msg, 0.0)
+            d_sum_t = d_sum_t + d_raw
+            d_raws.append(d_raw.reshape(bg, n, f).astype(compute_dtype))
+        d_raw_cat = jnp.concatenate(d_raws, axis=1).reshape(bg * kt * n, f)
+        seg = src_all[:, start * n : (start + kt) * n].reshape(bg * kt * n, h)
+        d_sum_cd = d_sum_t.astype(compute_dtype)
+        dw_src = jax.lax.dot_general(
+            seg, d_raw_cat, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        db_msg_ref[t] += jnp.sum(d_raw.astype(jnp.float32), axis=0)
-        d_pair = jax.lax.dot_general(
-            d_raw, w_msg_ref[t].astype(compute_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+        dw_x = jax.lax.dot_general(
+            x_flat, d_sum_cd, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bg*N, 2H]
-        d_src_slots.append(d_pair[:, :h].astype(compute_dtype))
-        dx_flat = dx_flat + d_pair[:, h:]
+        )
+        dw_msg_ref[t] += jnp.concatenate([dw_src, dw_x], axis=0)
+        db_msg_ref[t] += jnp.sum(d_sum_t, axis=0)
+        d_src_parts.append(
+            jax.lax.dot_general(
+                d_raw_cat, w_t[:h], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(bg, kt * n, h).astype(compute_dtype)
+        )
+        dx_flat = dx_flat + jax.lax.dot_general(
+            d_sum_cd, w_t[h:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        start += kt
+    d_src_all = jnp.concatenate(d_src_parts, axis=1)  # [bg, K*N, H]
 
     # scatter src grads per graph: dx_g += O_g^T @ d_src_g (contract rows)
     dx = dx_flat.reshape(bg, n, h)
     dx_rows = []
     for g in range(bg):
-        d_src_g = jnp.concatenate(
-            [d_src_slots[k][g * n : (g + 1) * n] for k in range(k_tot)], axis=0
-        ).astype(compute_dtype)  # [K*N, H]
         dx_rows.append(
             dx[g]
             + jax.lax.dot_general(
-                onehot_block[g].astype(compute_dtype), d_src_g,
+                onehot_block[g].astype(compute_dtype), d_src_all[g],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

@@ -156,17 +156,19 @@ def test_fused_mp_backward_matches_xla():
             close_bulk(np.asarray(gb[t][cols]), b0_want[tw], q=5e-3)
 
     # Projection grad: reassemble the flax [agg_dim, H] layout from the
-    # packed per-(branch, agg) slices and compare.
+    # packed per-agg slices (branches in H-aligned lane slices — the
+    # round-4 [4, F, branches*H] layout) and compare.
     tower_w = 4 * m * 3
     gwp = np.zeros_like(np.asarray(gwp_want))
     gpp_np = np.asarray(gpp)
+    h_out = gwp.shape[1]
     for br in range(3):
         for tw in range(cfg.num_heads):
             for j in range(4):  # sum, mean, std, max
                 part = [0, 1, 1, 2][j]
                 src_rows = slice(tw * 3 * m + part * m, tw * 3 * m + (part + 1) * m)
                 row0 = tw * tower_w + br * 4 * m + j * m
-                gwp[row0 : row0 + m] += gpp_np[br * 4 + j, src_rows]
+                gwp[row0 : row0 + m] += gpp_np[j, src_rows, br * h_out : (br + 1) * h_out]
     close_bulk(gwp, gwp_want, q=5e-3)
 
 
