@@ -186,3 +186,76 @@ def test_aggregate_by_class_with_ec_classes(tmp_path):
     r2 = agg[agg.EC_category == "2"].iloc[0]
     # single task -> that measurement's own std
     assert abs(r2["16_train (M) std"] - 0.03) < 1e-9
+
+
+def test_paired_gap_table(tmp_path):
+    """paired_gap_table joins arms with the control on identical
+    (task, support, seed) episodes and reports mean ± SEM of the
+    per-episode differences — a constant offset between arms must give
+    exactly that gap with a tiny paired SEM even when per-episode noise
+    is large (the whole point of pairing; VERDICT r3 #4)."""
+    import pandas as pd
+
+    from adkf_ift_tpu.plotting.collect import paired_gap_table
+
+    rng = np.random.RandomState(0)
+    ctrl_dir = str(tmp_path / "ctrl")
+    arm_dir = str(tmp_path / "arm")
+    fieldnames = ["num_train_requested", "num_train", "fraction_positive_train",
+                  "num_test", "fraction_positive_test", "seed", "valid_score",
+                  "average_precision_score", "roc_auc", "acc", "balanced_acc",
+                  "precision", "recall", "f1_score", "delta_auprc"]
+    for d in (ctrl_dir, arm_dir):
+        os.makedirs(d, exist_ok=True)
+    offset = 0.04
+    for t in range(4):
+        rows_c, rows_a = [], []
+        for size in (16, 64):
+            for r in range(3):
+                noise = 0.2 * rng.randn()  # LARGE shared episode noise
+                base = 0.1 + noise
+                rows_c.append({"num_train_requested": size, "seed": r,
+                               "delta_auprc": base})
+                rows_a.append({"num_train_requested": size, "seed": r,
+                               "delta_auprc": base + offset})
+        for d, rows in ((ctrl_dir, rows_c), (arm_dir, rows_a)):
+            with open(os.path.join(d, f"T{t}_eval_results.csv"), "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fieldnames)
+                w.writeheader()
+                for row in rows:
+                    full = {k: 0.5 for k in fieldnames}
+                    full.update(row)
+                    w.writerow(full)
+    out = paired_gap_table({"arm": arm_dir, "fresh-init": ctrl_dir},
+                           control="fresh-init")
+    assert set(out.model) == {"arm"}
+    for _, r in out.iterrows():
+        assert abs(r.paired_gap - offset) < 1e-9
+        assert r.paired_sem < 1e-9  # constant offset -> zero paired variance
+        assert r.num_episodes == 4 * 3
+    # Missing control -> empty frame, not a crash.
+    assert paired_gap_table({"arm": arm_dir}).empty
+
+
+def test_teacher_family_v2_properties(tmp_path):
+    """v2 family: quadratic readout is deterministic in the seed, label
+    flips hit ~10%, and the balance quantile moves the base rate."""
+    from adkf_ift_tpu.utils.synthetic import make_teacher_task
+
+    a = make_teacher_task("V", num_samples=200, seed=5, readout="quadratic",
+                          flip_prob=0.10, balance_quantile=0.35)
+    b = make_teacher_task("V", num_samples=200, seed=5, readout="quadratic",
+                          flip_prob=0.10, balance_quantile=0.35)
+    assert [s.bool_label for s in a.samples] == [s.bool_label for s in b.samples]
+    # Quantile 0.35 => ~65% positives before flips (threshold at the 35th
+    # percentile of the signal).
+    pos = np.mean([s.bool_label for s in a.samples])
+    assert 0.52 < pos < 0.75, pos
+    # Flips: compare with the unflipped twin — ~10% of labels differ.
+    c = make_teacher_task("V", num_samples=200, seed=5, readout="quadratic",
+                          flip_prob=0.0, balance_quantile=0.35)
+    # The flip draw consumes rng state, so labels must be compared via
+    # the SIGNAL threshold instead: count disagreements.
+    diff = np.mean([x.bool_label != y.bool_label
+                    for x, y in zip(a.samples, c.samples)])
+    assert 0.02 < diff < 0.25, diff
