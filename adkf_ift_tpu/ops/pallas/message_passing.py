@@ -162,14 +162,15 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
     x_cd = x_block.astype(compute_dtype)
     x_flat = x_cd.reshape(bg * n, h)
 
-    # Per-graph gathers (block-diagonal): [K*N, N] @ [N, H] — no relayouts.
-    src_rows = []
-    for g in range(bg):
-        oh = onehot_block[g].astype(compute_dtype)
-        src_rows.append(
-            jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
-        )  # [K*N, H]
-    src_all = jnp.stack(src_rows)    # [bg, K*N, H]
+    # Gathers as ONE batched dot_general over the block (batch dim = the
+    # graph): the one-hot is block-diagonal across graphs, and a single
+    # [bg; K*N, N] x [bg; N, H] batched matmul replaces bg separate ops
+    # (op-issue-bound kernel, docs/MFU.md round 4).
+    src_all = jax.lax.dot_general(
+        onehot_block.astype(compute_dtype), x_cd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)          # [bg, K*N, H]
     mask_all = mask_block            # [bg, K*N, 1] 0/1, compute dtype
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
@@ -346,13 +347,11 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     # re-sliced from src_all on demand instead of being stored, and the
     # relu gate is recovered as mm_k > 0, which kills every contribution
     # from masked-out or relu-dead slots) ----
-    src_rows = []
-    for g in range(bg):
-        oh = onehot_block[g].astype(compute_dtype)
-        src_rows.append(
-            jnp.dot(oh, x_cd[g], preferred_element_type=jnp.float32).astype(compute_dtype)
-        )
-    src_all = jnp.stack(src_rows)
+    src_all = jax.lax.dot_general(
+        onehot_block.astype(compute_dtype), x_cd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
     mask_all = mask_block
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
@@ -489,19 +488,14 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
         start += kt
     d_src_all = jnp.concatenate(d_src_parts, axis=1)  # [bg, K*N, H]
 
-    # scatter src grads per graph: dx_g += O_g^T @ d_src_g (contract rows)
+    # scatter src grads: dx += O^T @ d_src, batched over the block's
+    # graph dim (contract the K*N rows).
     dx = dx_flat.reshape(bg, n, h)
-    dx_rows = []
-    for g in range(bg):
-        dx_rows.append(
-            dx[g]
-            + jax.lax.dot_general(
-                onehot_block[g].astype(compute_dtype), d_src_all[g],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    return jnp.stack(dx_rows)
+    return dx + jax.lax.dot_general(
+        onehot_block.astype(compute_dtype), d_src_all,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
 
 @functools.partial(
