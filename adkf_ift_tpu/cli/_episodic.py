@@ -57,6 +57,15 @@ def add_episodic_train_args(parser: argparse.ArgumentParser, defaults=None) -> N
         help="Checkpoint directory to resume mid-run (params + optimizer "
         "state + step counter; capability the reference lacks, SURVEY.md §5).",
     )
+    parser.add_argument(
+        "--init-encoder-from", type=str, default=None,
+        help="Checkpoint directory whose ENCODER weights warm-start this "
+        "run (optimizer state starts fresh; the reference's "
+        "--pretrained_gnn / MoleculeNet Pre-ADKF initialization, "
+        "adaptive_dkt_train.py CLI). Donor and target encoder configs "
+        "must match; works across model families that share the "
+        "CombinedFeatureExtractor (e.g. DKT -> ADKF-IFT warm-start).",
+    )
     parser.add_argument("--num-reader-workers", type=int, default=4)
     parser.add_argument(
         "--checkpoint-backend", type=str, default="flax", choices=["flax", "orbax"],
@@ -197,6 +206,31 @@ def run_episodic_training(
         )
     )
     params = init_params_fn(config, jax.random.PRNGKey(args.seed), probe)
+
+    init_encoder_from = getattr(args, "init_encoder_from", None)
+    if init_encoder_from:
+        # Cross-family encoder graft: donor params are either a bare
+        # encoder tree (ADKF) or a NamedTuple with an `encoder` field
+        # (DKT/DKL-style). Restore against THIS model's encoder template
+        # so any architecture mismatch fails loudly here, not at step 1.
+        template = params.encoder if hasattr(params, "encoder") else params
+        _, donor, _, _ = load_checkpoint(init_encoder_from)
+        donor_encoder = donor.encoder if hasattr(donor, "encoder") else donor
+        if jax.tree.structure(donor_encoder) != jax.tree.structure(template):
+            raise ValueError(
+                f"--init-encoder-from {init_encoder_from}: donor encoder tree "
+                "does not match this model's encoder (different features/"
+                "architecture config?)"
+            )
+        donor_encoder = jax.tree.map(
+            lambda t, d: jax.numpy.asarray(d, t.dtype).reshape(t.shape),
+            template, donor_encoder,
+        )
+        params = (
+            params._replace(encoder=donor_encoder)
+            if hasattr(params, "encoder") else donor_encoder
+        )
+        logger.info("encoder warm-started from %s", init_encoder_from)
 
     start_step = 0
     resume_opt_state = None

@@ -48,6 +48,15 @@ def parse_command_line(argv=None) -> argparse.Namespace:
         action="store_true",
         help="Drop the IFT correction term (the first-order 'ADKF' ablation).",
     )
+    parser.add_argument(
+        "--feature-diversity-reg",
+        type=float,
+        default=0.0,
+        help="Coefficient on the effective-rank (von-Neumann-entropy) "
+        "feature-diversity penalty added to the outer loss — the "
+        "anti-collapse lever for low-task-diversity training regimes "
+        "(.zoo2/ANALYSIS.md; 0 = off, the reference objective).",
+    )
     parser.add_argument("--inner-max-iters", type=int, default=64, help="Inner L-BFGS iterations.")
     parser.add_argument(
         "--inner-method", type=str, default="auto", choices=["auto", "lbfgs", "newton"],
@@ -69,6 +78,7 @@ def main(argv=None):
         use_numeric_labels=args.use_numeric_labels,
         use_lengthscale_prior=args.use_lengthscale_prior,
         ignore_grad_correction=args.ignore_grad_correction,
+        feature_diversity_reg=args.feature_diversity_reg,
         inner_optimizer=LBFGSConfig(
             max_iters=args.inner_max_iters,
             method=args.inner_method,

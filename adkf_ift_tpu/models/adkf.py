@@ -63,6 +63,18 @@ class ADKFModelConfig:
     # L-BFGS then needs ~half the iterations for the same optima
     # (gp/fit.ard_warmstart_init).
     ard_isotropic_warmstart: bool = True
+    # Feature-diversity regularizer (round-5 anti-collapse lever; no
+    # reference analogue — the reference's 5k-assay training regime never
+    # surfaces the bilevel rank-collapse that low-task-diversity regimes
+    # do, .zoo2/ANALYSIS.md): adds
+    #   reg * (log n_valid - vonNeumannEntropy(feature Gram))
+    # to the episode outer loss. The entropy of the trace-normalized
+    # Gram spectrum is log(effective rank) — exactly the quantity the
+    # collapse probe (benchmarks/feature_collapse_probe.py) measures at
+    # 1.0 on collapsed checkpoints — and the trace normalization makes
+    # the penalty scale-invariant, so it shapes feature DIRECTION
+    # diversity without fighting the GP refit's free scale.
+    feature_diversity_reg: float = 0.0
 
     def __post_init__(self):
         if self.gp_kernel == "cossim" and not self.features.normalize_output:
@@ -153,11 +165,31 @@ def inner_fit(
     )
 
 
+def _feature_rank_deficit(fs, fq, support_mask, query_mask) -> jnp.ndarray:
+    """log(n_valid) − von-Neumann entropy of the episode's feature Gram.
+
+    Zero iff the (masked, centered) features have a uniform spectrum;
+    grows as they collapse toward rank 1. Computed on the [n, n] Gram
+    (n = support+query rows, ≤ a few hundred), so the eigh is tiny; the
+    eigenvalue-only VJP (V diag(λ̄) Vᵀ) has no divided-difference terms,
+    so degenerate/zero eigenvalues from padded rows are grad-safe."""
+    f = jnp.concatenate([fs, fq], axis=0).astype(jnp.float32)
+    m = jnp.concatenate([support_mask, query_mask], axis=0).astype(jnp.float32)
+    n = jnp.maximum(m.sum(), 2.0)
+    mean = (f * m[:, None]).sum(0) / n
+    fc = (f - mean[None, :]) * m[:, None]
+    gram = jnp.matmul(fc, fc.T, precision=jax.lax.Precision.HIGHEST) / n
+    lam = jnp.maximum(jnp.linalg.eigvalsh(gram), 0.0)
+    p = lam / jnp.maximum(lam.sum(), 1e-12)
+    entropy = -(p * jnp.log(p + 1e-12)).sum()
+    return jnp.log(n) - entropy
+
+
 def _gp_outer_loss(config, fs, ys, support_mask, fq, yq, query_mask) -> jnp.ndarray:
     """Inner fit + predictive query NLL on already-encoded features."""
     theta_star = inner_fit(config, fs, ys * support_mask, support_mask)
     gp_params = unflatten_gp_params(config.gp_config.kernel, theta_star)
-    return predictive_nll(
+    nll = predictive_nll(
         config.gp_config,
         gp_params,
         fs,
@@ -167,6 +199,12 @@ def _gp_outer_loss(config, fs, ys, support_mask, fq, yq, query_mask) -> jnp.ndar
         support_mask=support_mask,
         query_mask=query_mask,
     )
+    # getattr: configs unpickled from pre-round-5 checkpoints lack the
+    # field (unpickling bypasses __init__), and eval on them must work.
+    reg = getattr(config, "feature_diversity_reg", 0.0)
+    if reg:
+        nll = nll + reg * _feature_rank_deficit(fs, fq, support_mask, query_mask)
+    return nll
 
 
 def episode_outer_loss(

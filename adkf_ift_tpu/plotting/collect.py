@@ -140,12 +140,16 @@ def paired_gap_table(
         merged["diff"] = merged["metric"] - merged["metric_ctrl"]
         for size, grp in merged.groupby("num_train_requested"):
             d = grp["diff"].to_numpy()
+            if len(d) < 2:
+                # A single paired episode has no sample SEM (std(ddof=1)
+                # is NaN); skip rather than emit a NaN row (ADVICE r4 #3).
+                continue
             rows.append(
                 {
                     "model": model,
                     "support_size": int(size),
                     "paired_gap": float(d.mean()),
-                    "paired_sem": float(d.std(ddof=1) / max(len(d), 2) ** 0.5),
+                    "paired_sem": float(d.std(ddof=1) / len(d) ** 0.5),
                     "num_episodes": int(len(d)),
                 }
             )

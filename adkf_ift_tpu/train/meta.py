@@ -205,6 +205,7 @@ def make_meta_train_step(
         in_shardings=(state_sharding, episode_batch_sharding(mesh)),
         out_shardings=(state_sharding, episode_batch_sharding(mesh)),
         donate_argnums=(0,) if donate_state else (),
+        compiler_options=xla_compiler_options(),
     )
 
 
@@ -270,4 +271,5 @@ def make_meta_grads_fn(
         sharded_grads,
         in_shardings=(replicated_sharding(mesh), episode_batch_sharding(mesh)),
         out_shardings=(replicated_sharding(mesh), episode_batch_sharding(mesh)),
+        compiler_options=xla_compiler_options(),
     )

@@ -237,6 +237,13 @@ def main():
         "vs_measured_cpu_ref": round(
             steps_per_sec / REFERENCE_MEASURED_CPU_STEPS_PER_SEC, 1
         ),
+        # Config tags (VERDICT r4 #9): XLA's cost-model flops (and hence
+        # tflops_per_step/mfu_pct) are trip-count-variant in task_chunk
+        # (docs/MFU.md), so cross-round MFU numbers are only comparable
+        # at identical values of these fields.
+        "task_chunk": task_chunk,
+        "block_graphs": int(os.environ.get("BENCH_BLOCK_GRAPHS", "8")),
+        "bwd_block_graphs": int(os.environ.get("BENCH_BWD_BLOCK_GRAPHS", "0")) or None,
     }
     if flops_per_step:
         achieved = flops_per_step * steps_per_sec

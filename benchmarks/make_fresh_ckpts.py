@@ -107,10 +107,18 @@ def main():
         out = os.path.join(TRAIN_ROOT, arm, "freshinit", "best_validation")
         legacy = os.path.join(TRAIN_ROOT, arm, "FSMol_train_freshinit")
         if os.path.isdir(legacy):
-            import shutil
-
-            print(f"{arm}: migrating {legacy} -> {os.path.dirname(out)}")
-            shutil.move(legacy, os.path.dirname(out))
+            # os.rename (not shutil.move): move never lands INSIDE an
+            # already-existing freshinit/ dir (ADVICE r4 #2); if the
+            # destination exists, the legacy dir's best_validation moves
+            # to `out` directly.
+            if not os.path.isdir(os.path.dirname(out)):
+                print(f"{arm}: migrating {legacy} -> {os.path.dirname(out)}")
+                os.rename(legacy, os.path.dirname(out))
+            elif not os.path.isdir(out) and os.path.isdir(
+                os.path.join(legacy, "best_validation")
+            ):
+                print(f"{arm}: migrating {legacy}/best_validation -> {out}")
+                os.rename(os.path.join(legacy, "best_validation"), out)
         if os.path.isdir(out):
             print(f"{arm}: exists {out}")
             continue

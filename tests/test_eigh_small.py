@@ -47,8 +47,10 @@ def test_vmap_and_scan_compatible():
 
 
 def test_newton_still_converges_with_jacobi_eigh():
-    """The saddle-free Newton path (which now uses eigh_small) must still
-    reach the quadratic's minimum."""
+    """The saddle-free Newton path must still reach the quadratic's
+    minimum. (The eigh_small wiring was measured as a bench regression
+    and reverted — Newton uses jnp.linalg.eigh; ops/eigh_small.py keeps
+    the note — but this convergence pin stays valid either way.)"""
     from adkf_ift_tpu.gp.fit import LBFGSConfig, newton_minimize
 
     def quad(x):

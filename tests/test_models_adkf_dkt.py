@@ -310,3 +310,49 @@ def test_adkf_regression_mode():
     assert np.isfinite(loss)
     pred = adkf.episode_predict(cfg, params, ep)
     assert np.all(np.isfinite(np.asarray(pred.mean)))
+
+
+def test_feature_rank_deficit_metric():
+    """The penalty is ~0 for isotropic features, large for rank-1, and
+    scale-invariant (the GP refit's free scale must not feed it)."""
+    rng = np.random.RandomState(0)
+    fs = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    fq = jnp.asarray(rng.randn(32, 32), jnp.float32)
+    ones_s, ones_q = jnp.ones(16), jnp.ones(32)
+    iso = float(adkf._feature_rank_deficit(fs, fq, ones_s, ones_q))
+    # rank-1: every row a multiple of one direction
+    d = jnp.asarray(rng.randn(32), jnp.float32)
+    r1s = jnp.asarray(rng.randn(16, 1), jnp.float32) * d[None, :]
+    r1q = jnp.asarray(rng.randn(32, 1), jnp.float32) * d[None, :]
+    collapsed = float(adkf._feature_rank_deficit(r1s, r1q, ones_s, ones_q))
+    assert collapsed > iso + 1.0, (collapsed, iso)
+    scaled = float(adkf._feature_rank_deficit(fs * 650.0, fq * 650.0, ones_s, ones_q))
+    assert abs(scaled - iso) < 1e-3, "penalty must be scale-invariant"
+    # masked rows must not contribute
+    fs_pad = jnp.concatenate([fs, 1e6 * jnp.ones((4, 32), jnp.float32)])
+    mask = jnp.concatenate([ones_s, jnp.zeros(4)])
+    masked = float(adkf._feature_rank_deficit(fs_pad, fq, mask, ones_q))
+    assert abs(masked - iso) < 1e-3, (masked, iso)
+
+
+def test_feature_diversity_reg_in_outer_loss():
+    """reg=0 reproduces the reference objective bit-for-bit; reg>0 shifts
+    the loss by reg * deficit and its gradient pushes effective rank UP."""
+    feats = _tiny_features()
+    ep = _episodes(1)[0]
+    cfg0 = adkf.ADKFModelConfig(features=feats, inner_optimizer=_FAST_OPT)
+    cfgr = adkf.ADKFModelConfig(
+        features=feats, inner_optimizer=_FAST_OPT, feature_diversity_reg=5.0
+    )
+    params = adkf.init_encoder_params(cfg0, jax.random.PRNGKey(0), ep.support)
+    l0 = float(adkf.episode_outer_loss(cfg0, params, ep))
+    lr_ = float(adkf.episode_outer_loss(cfgr, params, ep))
+    assert lr_ > l0, "penalty must be positive for a real (non-uniform) encoder"
+    g = jax.grad(lambda p: adkf.episode_outer_loss(cfgr, p, ep))(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+    # old-checkpoint compat: a config object missing the attribute works
+    import dataclasses as _dc
+    legacy = adkf.ADKFModelConfig(features=feats, inner_optimizer=_FAST_OPT)
+    object.__delattr__(legacy, "feature_diversity_reg")
+    l_legacy = float(adkf.episode_outer_loss(legacy, params, ep))
+    assert abs(l_legacy - l0) < 1e-6
