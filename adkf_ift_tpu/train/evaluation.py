@@ -39,6 +39,39 @@ from adkf_ift_tpu.utils.metrics import (
     compute_numeric_task_metrics,
 )
 
+# Eval-process memory telemetry (VERDICT r4 #8): ADKF_EVAL_MEMLOG=N logs
+# host RSS, live jax arrays, and GC pressure every N evaluated episodes.
+# The known tunnel h2d staging leak is bytes-proportional
+# (docs/TUNNEL_LEAK.md); this hook exists to attribute any growth BEYOND
+# that budget (e.g. the round-4 32 GB eval incident) to live-buffer or
+# cache accumulation instead of guessing.
+_MEMLOG_EVERY = int(os.environ.get("ADKF_EVAL_MEMLOG", "0") or 0)
+
+
+def _memlog(tag: str) -> None:
+    import gc
+
+    rss_kb = 0
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    rss_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+
+        arrs = jax.live_arrays()
+        n_live, live_mb = len(arrs), sum(a.nbytes for a in arrs) / 1e6
+    except Exception:  # noqa: BLE001 — telemetry must never break eval
+        n_live, live_mb = -1, -1.0
+    logger.info(
+        "MEMLOG %s rss_mb %.1f live_arrays %d live_mb %.1f gc_objects %d",
+        tag, rss_kb / 1024.0, n_live, live_mb, len(gc.get_objects()),
+    )
+
 logger = logging.getLogger(__name__)
 
 DEFAULT_SUPPORT_SIZES = [16, 32, 64, 128, 256]  # test_utils.py:85-89
@@ -119,6 +152,7 @@ def eval_model(
     use_fastpack = episode_transform is None or dense_kw is not None
 
     task_to_results: Dict[str, List] = {}
+    episodes_done = 0
     for task in dataset.get_task_reading_iterable(fold, num_workers=num_workers):
         if filter_numeric_labels and not is_valid_numeric_task(task):
             continue
@@ -165,6 +199,9 @@ def eval_model(
                     episode_transform=episode_transform,
                     pack=pack, dense=dense_kw is not None,
                 )
+                episodes_done += 1
+                if _MEMLOG_EVERY and episodes_done % _MEMLOG_EVERY == 0:
+                    _memlog(f"{task.name}@{train_size} ep{episodes_done}")
                 if filter_numeric_labels:
                     metrics = compute_numeric_task_metrics(preds, labels)
                     results.append(
