@@ -106,7 +106,20 @@ def _query_labels(episode: Episode, regression: bool) -> np.ndarray:
 
 
 def bind_evaluator(predict: Callable, params, regression: bool = False):
-    """Bind params into an EpisodeEvaluator for train/evaluation.eval_model."""
+    """Bind params into an EpisodeEvaluator for train/evaluation.eval_model.
+
+    Params are device-committed ONCE here: checkpoint leaves are host
+    numpy arrays, and passing them to the jitted predict re-ships the
+    whole encoder (~60 MB) on EVERY episode chunk call. On the tunnel —
+    which permanently pins each h2d staging buffer
+    (docs/TUNNEL_LEAK.md) — that both leaked ~params-bytes x chunk-calls
+    of host RSS per eval (the round-4 '32 GB eval' incident: measured
+    ~190 MB/episode by ADKF_EVAL_MEMLOG with zero live arrays) and set
+    the per-episode latency floor (~2 s per 61 MB transfer at tunnel
+    bandwidth). A committed jax.Array is transferred once and reused;
+    for already-device-resident training params this is a no-op."""
+    if params is not None:
+        params = jax.device_put(params)
 
     def evaluate(episode: Episode, seed: int):
         return predict(params, episode), _query_labels(episode, regression)

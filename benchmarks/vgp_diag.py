@@ -92,8 +92,20 @@ def main():
         fs, ys, fq, support_mask=s_mask,
     )
     acc = float(((post.mean > 0) == (yq > 0)).mean())
+
+    def adkf_outer(fs_):
+        th = adkf_mod.inner_fit(acfg, fs_, ys, s_mask)
+        from adkf_ift_tpu.gp import predictive_nll
+
+        return predictive_nll(
+            acfg.gp_config, unflatten_gp_params(acfg.gp_config.kernel, th),
+            fs_, ys, fq, yq, support_mask=s_mask,
+        )
+
+    g_adkf = jax.grad(adkf_outer)(fs)
     print(f"exact-GP ADKF head: query acc {acc:.3f}  mean|mu| "
-          f"{float(jnp.abs(post.mean).mean()):.3f}")
+          f"{float(jnp.abs(post.mean).mean()):.3f}  "
+          f"|g_outer(fs)| {float(jnp.linalg.norm(g_adkf)):9.2e}")
 
     for iters in budgets:
         cfg = adkf_vgp.ADKTVGPModelConfig(
