@@ -211,26 +211,55 @@ def run_episodic_training(
     if init_encoder_from:
         # Cross-family encoder graft: donor params are either a bare
         # encoder tree (ADKF) or a NamedTuple with an `encoder` field
-        # (DKT/DKL-style). Restore against THIS model's encoder template
-        # so any architecture mismatch fails loudly here, not at step 1.
+        # (DKT/DKL-style). Graft the whole encoder when architectures
+        # match; otherwise fall back to the GNN feature-extractor
+        # subtree only (the reference's --pretrained_gnn semantics,
+        # gnn_utils.py: FC heads differ across families, e.g. ADKT-VGP's
+        # 1024-wide head). Any residual mismatch fails loudly here.
         template = params.encoder if hasattr(params, "encoder") else params
         _, donor, _, _ = load_checkpoint(init_encoder_from)
         donor_encoder = donor.encoder if hasattr(donor, "encoder") else donor
-        if jax.tree.structure(donor_encoder) != jax.tree.structure(template):
-            raise ValueError(
-                f"--init-encoder-from {init_encoder_from}: donor encoder tree "
-                "does not match this model's encoder (different features/"
-                "architecture config?)"
+
+        def _shapes_match(a, b):
+            if jax.tree.structure(a) != jax.tree.structure(b):
+                return False
+            return all(
+                jax.numpy.shape(x) == jax.numpy.shape(y)
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
             )
-        donor_encoder = jax.tree.map(
-            lambda t, d: jax.numpy.asarray(d, t.dtype).reshape(t.shape),
-            template, donor_encoder,
-        )
+
+        def _cast_like(t, d):
+            return jax.tree.map(lambda ti, di: jax.numpy.asarray(di, ti.dtype), t, d)
+
+        if _shapes_match(donor_encoder, template):
+            grafted = _cast_like(template, donor_encoder)
+            logger.info("encoder warm-started (full) from %s", init_encoder_from)
+        else:
+            t_in = template.get("params", template)
+            d_in = donor_encoder.get("params", donor_encoder)
+            sub = "graph_feature_extractor"
+            if (
+                isinstance(t_in, dict) and sub in t_in and isinstance(d_in, dict)
+                and sub in d_in and _shapes_match(d_in[sub], t_in[sub])
+            ):
+                new_in = dict(t_in)
+                new_in[sub] = _cast_like(t_in[sub], d_in[sub])
+                grafted = (
+                    {**template, "params": new_in} if "params" in template else new_in
+                )
+                logger.info(
+                    "encoder warm-started (GNN subtree only; FC heads differ) from %s",
+                    init_encoder_from,
+                )
+            else:
+                raise ValueError(
+                    f"--init-encoder-from {init_encoder_from}: donor encoder matches "
+                    "neither the full encoder nor the GNN subtree (different "
+                    "GNN architecture config?)"
+                )
         params = (
-            params._replace(encoder=donor_encoder)
-            if hasattr(params, "encoder") else donor_encoder
+            params._replace(encoder=grafted) if hasattr(params, "encoder") else grafted
         )
-        logger.info("encoder warm-started from %s", init_encoder_from)
 
     start_step = 0
     resume_opt_state = None

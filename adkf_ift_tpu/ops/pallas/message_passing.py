@@ -140,21 +140,62 @@ def pack_mp_params(
     )
 
 
-def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
-                  w_msg_ref, b_msg_ref, p_proj_ref,
-                  b_proj_ref, k_per_type, use_pna, compute_dtype):
-    """Fused MP + projection for a WHOLE graph block on VMEM values.
+def _bcast_slots(v_flat, k, n):
+    """Replicate a per-node [bg*N, F] tensor across k slot blocks ->
+    [bg, k*N, F] in slot-minor row order (one broadcast, not k adds —
+    the kernel is op-ISSUE-bound, docs/MFU.md rounds 4-5)."""
+    bgn, f = v_flat.shape
+    bg = bgn // n
+    return jnp.broadcast_to(
+        v_flat.reshape(bg, 1, n, f), (bg, k, n, f)
+    ).reshape(bg, k * n, f)
 
-    Only the one-hot gather is per-graph (it is block-diagonal across
-    graphs); messages, aggregation, and projection are batched over all
-    bg*N rows so each matmul is MXU-sized ([bg*N, 2H] @ [2H, F] per edge
-    slot instead of bg tiny [N, 2H] matmuls — 16x fewer, 16x fatter).
-    The slot masks and node degrees are STATIC per episode and arrive as
-    inputs (mask_block [bg, K*N, 1], deg_block [bg, N, 1]) computed once
-    by XLA — round-4 measurement put the fused MP kernel at ~87% of the
-    outer step with per-graph small matmuls the prime cost, so the
-    in-kernel per-graph mask matmuls were removed.
-    Returns the pre-residual update [bg, N, H] f32 (incl. projection bias).
+
+def _pad_slots(v, k, n, k_pad):
+    """Zero-pad [bg, k*N, F] to k_pad slot blocks. Zero slots are exact
+    identities for every aggregate here: sum (+0), max (relu'd messages
+    are >= 0), and the variance term (relu(0 - mean^2) = 0)."""
+    if k_pad == k:
+        return v
+    bg, _, f = v.shape
+    return jnp.concatenate(
+        [v, jnp.zeros((bg, (k_pad - k) * n, f), v.dtype)], axis=1
+    )
+
+
+def _tree_slots(v, k, n, op, op1=None):
+    """Reduce [bg, k*N, F] over its k slot blocks by pairwise halving
+    (k must be a power of two): log2(k) whole-tensor ops instead of k
+    per-slot ops. `op1` overrides the first level (e.g. to fuse the
+    bf16 -> f32 cast into the first add instead of casting the full
+    stack). Returns [bg*N, F]."""
+    first = True
+    while k > 1:
+        a = k // 2
+        o = op1 if (first and op1 is not None) else op
+        v = o(v[:, : a * n], v[:, a * n :])
+        first, k = False, a
+    bg, _, f = v.shape
+    v = v if op1 is None or not first else op1(v, jnp.zeros_like(v))
+    return v.reshape(bg * n, f)
+
+
+def _next_pow2(k: int) -> int:
+    return 1 << (k - 1).bit_length()
+
+
+def _stacked_forward_core(x_block, onehot_block, mask_block, deg_block,
+                          w_msg_ref, b_msg_ref, k_per_type, compute_dtype):
+    """Shared fwd/bwd-recompute core: gather + messages + aggregates,
+    with every per-slot ELEMENTWISE op replaced by one stacked op over
+    the [bg, K*N, F] slot-minor message tensor (round 5: the round-4
+    measurement pinned the kernel op-issue-bound at ~0.4 us/op, and the
+    K-slot loops were the remaining ~60 vector ops/block — stacking
+    turns the O(K) unrolled loops into O(log K) tree reductions and
+    O(1) broadcasts; matmul structure unchanged).
+
+    Returns (x_flat, src_all, mm_all, mm_pad, k_pad, s_acc, denom, mean,
+    var, std, x_agg, deg).
     """
     bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
     f = w_msg_ref.shape[2]
@@ -171,54 +212,73 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(compute_dtype)          # [bg, K*N, H]
-    mask_all = mask_block            # [bg, K*N, 1] 0/1, compute dtype
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
-    # Messages: TWO matmuls per EDGE TYPE instead of one per slot (the
-    # kernel is op-issue-bound, docs/MFU.md round 4). The message weight
-    # [2H, F] splits into a source half and a target half; the target-x
-    # contribution is slot-independent (one [bg*N, H] @ [H, F] per type)
-    # and the source half multiplies ALL of a type's slots at once
-    # ([bg·k_t·N, H] @ [H, F] over src_all's contiguous type segment).
-    # The slot mask is folded INTO the stored message (relu output >= 0,
-    # so masked sum / max / variance over mm_k := mask_k * relu(raw_k)
-    # are EXACTLY the reference's masked aggregates — see aggregation),
-    # and messages are stored in the compute dtype.
-    mm = []
+    # Messages: TWO matmuls per EDGE TYPE (source half over the type's
+    # whole contiguous slot segment, target half shared by its slots —
+    # round 4), with the slot-replicated target contribution added as ONE
+    # broadcast+add per type instead of one add per slot (round 5). The
+    # slot mask is folded INTO the stored message (relu output >= 0, so
+    # masked sum / max / variance over mm := mask * relu(raw) are EXACTLY
+    # the reference's masked aggregates); messages stay in compute dtype.
+    parts = []
     start = 0
     for t, kt in enumerate(k_per_type):
         w_t = w_msg_ref[t].astype(compute_dtype)  # [2H, F]
-        xw_t = jnp.dot(x_flat, w_t[h:], preferred_element_type=jnp.float32)
+        xwb_t = (
+            jnp.dot(x_flat, w_t[h:], preferred_element_type=jnp.float32)
+            + b_msg_ref[t][None, :]
+        )
         seg = src_all[:, start * n : (start + kt) * n].reshape(bg * kt * n, h)
         sw_t = jnp.dot(seg, w_t[:h], preferred_element_type=jnp.float32).reshape(
             bg, kt * n, f
         )
-        for s in range(kt):
-            raw = sw_t[:, s * n : (s + 1) * n].reshape(bg * n, f) + xw_t + b_msg_ref[t][None, :]
-            mk = mask_all[:, (start + s) * n : (start + s + 1) * n].reshape(bg * n, 1)
-            mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
+        parts.append(sw_t + _bcast_slots(xwb_t, kt, n))
         start += kt
+    raw_all = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    mm_all = (mask_block * jnp.maximum(raw_all, 0.0)).astype(compute_dtype)
 
-    # Masked aggregation over the K slots (static unroll) on [bg*N, F]:
+    # Masked aggregation over the K slots as log2(K) tree reductions on
+    # the zero-padded stack (identities: see _pad_slots):
     #   sum  = sum_k mm_k                       (mask already folded)
     #   max  = max_k mm_k  (relu >= 0 makes the masked max exact: a
     #          masked-out slot contributes 0, and when no slot is live
     #          the reference also yields 0)
     #   var  = sum_k relu(mm_k^2 - mean^2) + deg * eps  (a masked-out
     #          slot gives relu(0 - mean^2) = 0, so no mask needed)
-    s_acc = jnp.zeros((bg * n, f), jnp.float32)
-    x_agg = jnp.zeros((bg * n, f), jnp.float32)
-    for k in range(k_tot):
-        mk32 = mm[k].astype(jnp.float32)
-        s_acc = s_acc + mk32
-        x_agg = jnp.maximum(x_agg, mk32)
+    k_pad = _next_pow2(max(k_tot, 1))
+    mm_pad = _pad_slots(mm_all, k_tot, n, k_pad)
+    add32 = lambda a, b: a.astype(jnp.float32) + b.astype(jnp.float32)  # noqa: E731
+    s_acc = _tree_slots(mm_pad, k_pad, n, jnp.add, op1=add32)
+    x_agg = _tree_slots(mm_pad, k_pad, n, jnp.maximum).astype(jnp.float32)
     denom = jnp.maximum(deg, 1.0)
     mean = s_acc / denom
-    var = deg * SMALL_NUMBER
-    for k in range(k_tot):
-        mk32 = mm[k].astype(jnp.float32)
-        var = var + jnp.maximum(mk32 * mk32 - mean * mean, 0.0)
+    mm32 = mm_pad.astype(jnp.float32)
+    diff = jnp.maximum(mm32 * mm32 - _bcast_slots(mean * mean, k_pad, n), 0.0)
+    var = deg * SMALL_NUMBER + _tree_slots(diff, k_pad, n, jnp.add)
     std = jnp.where(var > 0.0, jnp.sqrt(jnp.where(var > 0.0, var, 1.0)), 0.0)
+    return x_flat, src_all, mm_all, mm_pad, k_pad, s_acc, denom, mean, var, std, x_agg, deg
+
+
+def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
+                  w_msg_ref, b_msg_ref, p_proj_ref,
+                  b_proj_ref, k_per_type, use_pna, compute_dtype):
+    """Fused MP + projection for a WHOLE graph block on VMEM values.
+
+    Only the one-hot gather is per-graph (it is block-diagonal across
+    graphs); messages, aggregation, and projection are batched over all
+    bg*N rows so each matmul is MXU-sized, and all per-slot elementwise
+    work is stacked over the [bg, K*N, F] message tensor
+    (_stacked_forward_core). The slot masks and node degrees are STATIC
+    per episode and arrive as inputs (mask_block [bg, K*N, 1], deg_block
+    [bg, N, 1]) computed once by XLA.
+    Returns the pre-residual update [bg, N, H] f32 (incl. projection bias).
+    """
+    bg, n, h = x_block.shape[0], x_block.shape[1], x_block.shape[2]
+    (_, _, _, _, _, s_acc, denom, mean, var, std, x_agg, deg) = _stacked_forward_core(
+        x_block, onehot_block, mask_block, deg_block,
+        w_msg_ref, b_msg_ref, k_per_type, compute_dtype,
+    )
 
     # Projection: ONE [bg*N, F] @ [F, branches*H] matmul per aggregation
     # source (branches live in H-aligned lane slices of p_proj), then the
@@ -337,53 +397,18 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     f = w_msg_ref.shape[2]
     k_tot = sum(k_per_type)
     n_branch = 3 if use_pna else 1
-
-    x_cd = x_block.astype(compute_dtype)
-    x_flat = x_cd.reshape(bg * n, h)
     grad_flat = grad.reshape(bg * n, h)
 
-    # ---- recompute forward intermediates (batched, mask folded into the
-    # stored compute-dtype messages exactly as in _mp_block_fwd; pairs are
-    # re-sliced from src_all on demand instead of being stored, and the
-    # relu gate is recovered as mm_k > 0, which kills every contribution
-    # from masked-out or relu-dead slots) ----
-    src_all = jax.lax.dot_general(
-        onehot_block.astype(compute_dtype), x_cd,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
-    mask_all = mask_block
-    deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
-
-    mm = []
-    start = 0
-    for t, kt in enumerate(k_per_type):
-        w_t = w_msg_ref[t].astype(compute_dtype)
-        xw_t = jnp.dot(x_flat, w_t[h:], preferred_element_type=jnp.float32)
-        seg = src_all[:, start * n : (start + kt) * n].reshape(bg * kt * n, h)
-        sw_t = jnp.dot(seg, w_t[:h], preferred_element_type=jnp.float32).reshape(
-            bg, kt * n, f
-        )
-        for s in range(kt):
-            raw = sw_t[:, s * n : (s + 1) * n].reshape(bg * n, f) + xw_t + b_msg_ref[t][None, :]
-            mk = mask_all[:, (start + s) * n : (start + s + 1) * n].reshape(bg * n, 1)
-            mm.append((mk * jnp.maximum(raw, 0.0)).astype(compute_dtype))
-        start += kt
-
-    s_acc = jnp.zeros((bg * n, f), jnp.float32)
-    x_agg = jnp.zeros((bg * n, f), jnp.float32)
-    for k in range(k_tot):
-        mk32 = mm[k].astype(jnp.float32)
-        s_acc = s_acc + mk32
-        x_agg = jnp.maximum(x_agg, mk32)
-    denom = jnp.maximum(deg, 1.0)
-    mean = s_acc / denom
-    var = deg * SMALL_NUMBER
-    for k in range(k_tot):
-        mk32 = mm[k].astype(jnp.float32)
-        var = var + jnp.maximum(mk32 * mk32 - mean * mean, 0.0)
+    # ---- recompute forward intermediates (stacked exactly as in
+    # _mp_block_fwd via the shared core; the relu gate is recovered as
+    # mm > 0, which kills every contribution from masked-out or
+    # relu-dead slots) ----
+    (x_flat, src_all, _, mm_pad, k_pad, s_acc, denom, mean, var, std, x_agg,
+     deg) = _stacked_forward_core(
+        x_block, onehot_block, mask_block, deg_block,
+        w_msg_ref, b_msg_ref, k_per_type, compute_dtype,
+    )
     var_pos = var > 0.0
-    std = jnp.where(var_pos, jnp.sqrt(jnp.where(var_pos, var, 1.0)), 0.0)
     sources = (s_acc, mean, std, x_agg)
 
     # ---- projection backward ----
@@ -421,48 +446,52 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
 
     d_sum, d_mean_direct, d_std, d_max = d_src
 
-    # ---- aggregation backward ----
+    # ---- aggregation backward (stacked over the padded slot stack;
+    # round 5 — see _stacked_forward_core's rationale) ----
     # Every per-slot gradient is gated by the relu indicator mm_k > 0 at
     # the end, which is 0 for masked-out AND relu-dead slots — so the
     # explicit slot masks of the reference formulation drop out exactly
     # (see _mp_block_fwd); tie shares among all-zero max slots differ
-    # only where the gate is 0.
+    # only where the gate is 0 (including the zero PAD slots, which can
+    # only tie when x_agg == 0, i.e. exactly where the gate kills every
+    # real slot's gradient too).
     dvar = jnp.where(var_pos, d_std * 0.5 / jnp.where(var_pos, std, 1.0), 0.0)
-    d_mean = d_mean_direct
-    tie_count = jnp.zeros((bg * n, f), jnp.float32)
-    for k in range(k_tot):
-        mk32 = mm[k].astype(jnp.float32)
-        ind = ((mk32 * mk32 - mean * mean) > 0.0).astype(jnp.float32)
-        d_mean = d_mean - dvar * ind * 2.0 * mean
-        tie_count = tie_count + (mk32 == x_agg).astype(jnp.float32)
+    mm32_pad = mm_pad.astype(jnp.float32)                    # [bg, kp*N, F]
+    ind_pad = (
+        mm32_pad * mm32_pad - _bcast_slots(mean * mean, k_pad, n) > 0.0
+    ).astype(jnp.float32)
+    tie_pad = (mm32_pad == _bcast_slots(x_agg, k_pad, n)).astype(jnp.float32)
+    ind_count = _tree_slots(ind_pad, k_pad, n, jnp.add)
+    tie_count = _tree_slots(tie_pad, k_pad, n, jnp.add)
+    d_mean = d_mean_direct - dvar * 2.0 * mean * ind_count
     d_s_from_mean = d_mean / denom
     tie_den = jnp.maximum(tie_count, 1.0)
 
+    # Stacked d_raw over every slot at once: all the shared per-node
+    # cotangents broadcast across the slot blocks, and the relu/mask
+    # gate is one where() on the stack.
+    d_raw_pad = jnp.where(
+        mm32_pad > 0.0,
+        _bcast_slots(d_sum + d_s_from_mean, k_pad, n)
+        + _bcast_slots(dvar * 2.0, k_pad, n) * ind_pad * mm32_pad
+        + tie_pad * _bcast_slots(d_max / tie_den, k_pad, n),
+        0.0,
+    )                                                        # [bg, kp*N, F] f32
+
     # Per-TYPE batched message backward (mirrors the fwd split; the
-    # kernel is op-issue-bound): the per-slot d_raw cotangents of one
-    # type concatenate into that type's contiguous src segment order, so
-    # the weight/source/x grads are 4 matmuls per type instead of 2 per
-    # slot.
+    # kernel is op-issue-bound): the stacked d_raw's type segment IS the
+    # contiguous src-order cotangent, so the weight/source/x grads are 4
+    # matmuls per type with no per-slot concatenation.
     dx_flat = jnp.zeros((bg * n, h), jnp.float32)
     d_src_parts = []  # per type: [bg, k_t*N, H] compute-dtype
     start = 0
     for t, kt in enumerate(k_per_type):
         w_t = w_msg_ref[t].astype(compute_dtype)
-        d_raws = []
-        d_sum_t = jnp.zeros((bg * n, f), jnp.float32)
-        for s in range(kt):
-            mk32 = mm[start + s].astype(jnp.float32)
-            ind = ((mk32 * mk32 - mean * mean) > 0.0).astype(jnp.float32)
-            d_msg = (
-                d_sum
-                + d_s_from_mean
-                + dvar * ind * 2.0 * mk32
-                + (mk32 == x_agg).astype(jnp.float32) / tie_den * d_max
-            )
-            d_raw = jnp.where(mk32 > 0.0, d_msg, 0.0)
-            d_sum_t = d_sum_t + d_raw
-            d_raws.append(d_raw.reshape(bg, n, f).astype(compute_dtype))
-        d_raw_cat = jnp.concatenate(d_raws, axis=1).reshape(bg * kt * n, f)
+        d_raw_seg = d_raw_pad[:, start * n : (start + kt) * n]
+        d_sum_t = _tree_slots(
+            _pad_slots(d_raw_seg, kt, n, _next_pow2(kt)), _next_pow2(kt), n, jnp.add
+        )
+        d_raw_cat = d_raw_seg.astype(compute_dtype).reshape(bg * kt * n, f)
         seg = src_all[:, start * n : (start + kt) * n].reshape(bg * kt * n, h)
         d_sum_cd = d_sum_t.astype(compute_dtype)
         dw_src = jax.lax.dot_general(
@@ -510,7 +539,7 @@ def fused_multiaggr_mp(
     onehot: jnp.ndarray,       # [G, K_tot*N, N] (slot_minor_onehot)
     w_msg: jnp.ndarray,        # [T, 2H, F]
     b_msg: jnp.ndarray,        # [T, F]
-    p_proj: jnp.ndarray,       # [4*branches, F, H]
+    p_proj: jnp.ndarray,       # [4, F, branches*H] (branch-stacked, round 4)
     b_proj: jnp.ndarray,       # [H]
     *,
     k_per_type: Tuple[int, ...],
