@@ -162,6 +162,60 @@ def make_validation_fn(
     return validate
 
 
+def graft_encoder(params, init_encoder_from: str):
+    """Warm-start `params`' encoder from another family's checkpoint.
+
+    Donor params are either a bare encoder tree (ADKF) or a NamedTuple
+    with an `encoder` field (DKT/DKL-style). Grafts the whole encoder
+    when architectures match; otherwise falls back to the GNN
+    feature-extractor subtree only (the reference's --pretrained_gnn
+    semantics: FC heads differ across families, e.g. ADKT-VGP's
+    1024-wide head). Any residual mismatch fails loudly here, not at
+    training step 1."""
+    template = params.encoder if hasattr(params, "encoder") else params
+    _, donor, _, _ = load_checkpoint(init_encoder_from)
+    donor_encoder = donor.encoder if hasattr(donor, "encoder") else donor
+
+    def _shapes_match(a, b):
+        if jax.tree.structure(a) != jax.tree.structure(b):
+            return False
+        return all(
+            jax.numpy.shape(x) == jax.numpy.shape(y)
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    def _cast_like(t, d):
+        return jax.tree.map(lambda ti, di: jax.numpy.asarray(di, ti.dtype), t, d)
+
+    if _shapes_match(donor_encoder, template):
+        grafted = _cast_like(template, donor_encoder)
+        logger.info("encoder warm-started (full) from %s", init_encoder_from)
+    else:
+        t_in = template.get("params", template)
+        d_in = donor_encoder.get("params", donor_encoder)
+        sub = "graph_feature_extractor"
+        if (
+            isinstance(t_in, dict) and sub in t_in and isinstance(d_in, dict)
+            and sub in d_in and _shapes_match(d_in[sub], t_in[sub])
+        ):
+            new_in = dict(t_in)
+            new_in[sub] = _cast_like(t_in[sub], d_in[sub])
+            grafted = (
+                {**template, "params": new_in} if "params" in template else new_in
+            )
+            logger.info(
+                "encoder warm-started (GNN subtree only; FC heads differ) from %s",
+                init_encoder_from,
+            )
+        else:
+            raise ValueError(
+                f"--init-encoder-from {init_encoder_from}: donor encoder matches "
+                "neither the full encoder nor the GNN subtree (different "
+                "GNN architecture config?)"
+            )
+    return params._replace(encoder=grafted) if hasattr(params, "encoder") else grafted
+
+
 def run_episodic_training(
     kind: str,
     config,
@@ -209,57 +263,7 @@ def run_episodic_training(
 
     init_encoder_from = getattr(args, "init_encoder_from", None)
     if init_encoder_from:
-        # Cross-family encoder graft: donor params are either a bare
-        # encoder tree (ADKF) or a NamedTuple with an `encoder` field
-        # (DKT/DKL-style). Graft the whole encoder when architectures
-        # match; otherwise fall back to the GNN feature-extractor
-        # subtree only (the reference's --pretrained_gnn semantics,
-        # gnn_utils.py: FC heads differ across families, e.g. ADKT-VGP's
-        # 1024-wide head). Any residual mismatch fails loudly here.
-        template = params.encoder if hasattr(params, "encoder") else params
-        _, donor, _, _ = load_checkpoint(init_encoder_from)
-        donor_encoder = donor.encoder if hasattr(donor, "encoder") else donor
-
-        def _shapes_match(a, b):
-            if jax.tree.structure(a) != jax.tree.structure(b):
-                return False
-            return all(
-                jax.numpy.shape(x) == jax.numpy.shape(y)
-                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
-            )
-
-        def _cast_like(t, d):
-            return jax.tree.map(lambda ti, di: jax.numpy.asarray(di, ti.dtype), t, d)
-
-        if _shapes_match(donor_encoder, template):
-            grafted = _cast_like(template, donor_encoder)
-            logger.info("encoder warm-started (full) from %s", init_encoder_from)
-        else:
-            t_in = template.get("params", template)
-            d_in = donor_encoder.get("params", donor_encoder)
-            sub = "graph_feature_extractor"
-            if (
-                isinstance(t_in, dict) and sub in t_in and isinstance(d_in, dict)
-                and sub in d_in and _shapes_match(d_in[sub], t_in[sub])
-            ):
-                new_in = dict(t_in)
-                new_in[sub] = _cast_like(t_in[sub], d_in[sub])
-                grafted = (
-                    {**template, "params": new_in} if "params" in template else new_in
-                )
-                logger.info(
-                    "encoder warm-started (GNN subtree only; FC heads differ) from %s",
-                    init_encoder_from,
-                )
-            else:
-                raise ValueError(
-                    f"--init-encoder-from {init_encoder_from}: donor encoder matches "
-                    "neither the full encoder nor the GNN subtree (different "
-                    "GNN architecture config?)"
-                )
-        params = (
-            params._replace(encoder=grafted) if hasattr(params, "encoder") else grafted
-        )
+        params = graft_encoder(params, init_encoder_from)
 
     start_step = 0
     resume_opt_state = None

@@ -10,24 +10,30 @@ never touch HBM — the XLA flat path materializes both per GNN block
 bytes-bound device and benchmarks/encoder_layouts.py).
 
 Mosaic-friendliness decisions (constraints per the TPU kernel guide and
-the quirks recorded in CLAUDE.md):
+the quirks recorded in CLAUDE.md; the round-4/5 measurements showed the
+kernel is bound by MATMUL/op ISSUE count, not FLOPs — docs/MFU.md):
   * slot-minor layout: incoming-edge slot k of all N nodes is one
     contiguous [N, ...] row block, so every slice is a static SUBLANE
     (row) slice — no 32-wide lane slicing anywhere;
-  * gathers are one-hot [K*N, N] @ [N, H] matmuls (no dynamic_slice on
-    values);
+  * the gather is ONE [bg*K*N, bg*N] @ [bg*N, H] matmul per block
+    against a BLOCK-DIAGONALIZED masked one-hot (round 5; a bg-batched
+    dot_general serializes into bg small matmuls on Mosaic), and the
+    bwd scatter is its one-matmul transpose; the bwd's smaller blocks
+    read the diagonal sub-blocks of the same array via their BlockSpec
+    index map;
   * the message MLPs run as TWO matmuls per edge type (source half over
     the type's whole contiguous slot segment, target half shared by all
-    its slots) against a host-packed block-diagonal weight [2H, F] —
-    round-4: the kernel is op-issue-bound (docs/MFU.md), so fewer,
-    fatter matmuls are the lever (33 -> 18 per block fwd);
-  * aggregation is a static unrolled loop over K slots of [N, F]
-    elementwise ops; slot masks/degrees are static per episode and
-    arrive as XLA-precomputed inputs;
-  * the output projection is 4 matmuls (one per aggregation source,
-    PNA branches stacked in H-aligned lanes of the packed weight) —
-    PNA's per-node scalers commute through the projection as row
-    scalings (diag(a) S) P = a * (S P).
+    its slots) against a host-packed block-diagonal weight [2H, F]
+    (round 4: 33 -> 18 matmuls per block fwd);
+  * all per-slot ELEMENTWISE work is stacked over the [bg, K*N, F]
+    message tensor: O(1) slot broadcasts and log2(K) pairwise-tree
+    reductions instead of K-unrolled loops (round 5,
+    _stacked_forward_core); slot masks/degrees are static per episode
+    and arrive as XLA-precomputed inputs;
+  * the output projection is ONE [bg*N, 4F] @ [4F, branches*H] matmul
+    (sources concatenated in lanes, PNA branches in H-aligned lane
+    slices; round 5) — PNA's per-node scalers commute through the
+    projection as row scalings (diag(a) S) P = a * (S P).
 
 Parity: matches DenseRelationalMultiAggrMP + msg_out_projection
 (modules/gnn.py) under the same flax parameters (see tests).
@@ -203,15 +209,16 @@ def _stacked_forward_core(x_block, onehot_block, mask_block, deg_block,
     x_cd = x_block.astype(compute_dtype)
     x_flat = x_cd.reshape(bg * n, h)
 
-    # Gathers as ONE batched dot_general over the block (batch dim = the
-    # graph): the one-hot is block-diagonal across graphs, and a single
-    # [bg; K*N, N] x [bg; N, H] batched matmul replaces bg separate ops
-    # (op-issue-bound kernel, docs/MFU.md round 4).
-    src_all = jax.lax.dot_general(
-        onehot_block.astype(compute_dtype), x_cd,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    # Gather as ONE unbatched matmul per block: the one-hot arrives
+    # BLOCK-DIAGONALIZED ([bg*K*N, bg*N], built once per episode by XLA)
+    # so the whole block's gather is a single [bg*K*N, bg*N] @ [bg*N, H]
+    # dot instead of a bg-batched dot_general that Mosaic serializes into
+    # bg small matmuls (round 5: the kernel is matmul-ISSUE-bound; the
+    # gathers/scatters were the largest issue population).
+    src_all = jnp.dot(
+        onehot_block.astype(compute_dtype), x_flat,
         preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)          # [bg, K*N, H]
+    ).astype(compute_dtype).reshape(bg, k_tot * n, h)
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
 
     # Messages: TWO matmuls per EDGE TYPE (source half over the type's
@@ -280,18 +287,15 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
         w_msg_ref, b_msg_ref, k_per_type, compute_dtype,
     )
 
-    # Projection: ONE [bg*N, F] @ [F, branches*H] matmul per aggregation
-    # source (branches live in H-aligned lane slices of p_proj), then the
-    # PNA scalers weight the branch slices. 4 matmuls instead of 12 —
-    # the kernel is op-issue-bound (docs/MFU.md round 4).
-    sources = (s_acc, mean, std, x_agg)
-    wide = jnp.zeros((bg * n, p_proj_ref.shape[2]), jnp.float32)
-    for j in range(4):
-        wide = wide + jnp.dot(
-            sources[j].astype(compute_dtype),
-            p_proj_ref[j].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+    # Projection: ONE [bg*N, 4F] @ [4F, branches*H] matmul (aggregation
+    # sources concatenated in lanes, p_proj's leading source dim merged
+    # into rows; branches stay in H-aligned lane slices), then the PNA
+    # scalers weight the branch slices. 1 matmul instead of round 4's 4
+    # (round 5: the cost is matmul ISSUE count, not vector ops).
+    f = p_proj_ref.shape[1]
+    cat_src = jnp.concatenate([s_acc, mean, std, x_agg], axis=1).astype(compute_dtype)
+    p_all = p_proj_ref[...].reshape(4 * f, p_proj_ref.shape[2]).astype(compute_dtype)
+    wide = jnp.dot(cat_src, p_all, preferred_element_type=jnp.float32)
     out = wide[:, :h]
     if use_pna:
         log_deg = jnp.log(deg + 1.0)
@@ -303,7 +307,7 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
 
 def _mp_kernel(
     x_ref,        # [BG, N, H]
-    onehot_ref,   # [BG, K*N, N] — host-prebuilt masked one-hot gather
+    onehot_ref,   # [1, BG*K*N, BG*N] — block-diagonal masked one-hot
     mask_ref,     # [BG, K*N, 1] — static slot masks (XLA-precomputed)
     deg_ref,      # [BG, N, 1] — static node degrees
     w_msg_ref,    # [T, 2H, F]
@@ -318,7 +322,7 @@ def _mp_kernel(
     compute_dtype,
 ):
     out = _mp_block_fwd(
-        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
@@ -345,7 +349,8 @@ def slot_minor_onehot(in_src, in_mask, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 def _mp_bwd_kernel(
     x_ref,        # [BG, N, H]
-    onehot_ref,   # [BG, K*N, N]
+    onehot_ref,   # [1, BG*K*N, BG*N] — diagonal sub-block of the fwd's
+                  # block-diagonal one-hot (see _bwd_call's index map)
     mask_ref,     # [BG, K*N, 1]
     deg_ref,      # [BG, N, 1]
     w_msg_ref,    # [T, 2H, F]
@@ -375,7 +380,7 @@ def _mp_bwd_kernel(
         db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
 
     dx = _mp_block_bwd(
-        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref,
         g_ref[...].astype(jnp.float32),
         dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
@@ -422,29 +427,32 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
     else:
         scales = (jnp.ones((bg * n, 1), jnp.float32),)
 
-    # Branch-concatenated upstream grad [bg*N, branches*H]: one weight-
-    # grad and one source-grad matmul per aggregation source (see the
-    # fwd's wide projection; lane slices are H-aligned).
+    # Branch-concatenated upstream grad [bg*N, branches*H], sources
+    # concatenated in lanes [bg*N, 4F]: the whole projection backward is
+    # TWO matmuls (weight grad [4F, BH]; source grad [bg*N, 4F]) instead
+    # of round 4's 8 (matmul-issue-bound, round 5).
     sg_cat = jnp.concatenate(
         [(scales[br] * grad_flat) for br in range(n_branch)], axis=1
     ).astype(compute_dtype)
-    d_src = []
-    for j in range(4):
-        dp_proj_ref[j] += jax.lax.dot_general(
-            sources[j].astype(compute_dtype), sg_cat,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        d_src.append(
-            jax.lax.dot_general(
-                sg_cat, p_proj_ref[j].astype(compute_dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
+    cat_src = jnp.concatenate(sources, axis=1).astype(compute_dtype)
+    p_all = p_proj_ref[...].reshape(4 * f, p_proj_ref.shape[2]).astype(compute_dtype)
+    dp_all = jax.lax.dot_general(
+        cat_src, sg_cat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_proj_ref[...] += dp_all.reshape(4, f, p_proj_ref.shape[2])
+    d_src_cat = jax.lax.dot_general(
+        sg_cat, p_all,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     db_proj_ref[0, :] += jnp.sum(grad_flat, axis=0)
 
-    d_sum, d_mean_direct, d_std, d_max = d_src
+    d_sum = d_src_cat[:, :f]
+    d_mean_direct = d_src_cat[:, f : 2 * f]
+    d_std = d_src_cat[:, 2 * f : 3 * f]
+    d_max = d_src_cat[:, 3 * f :]
 
     # ---- aggregation backward (stacked over the padded slot stack;
     # round 5 — see _stacked_forward_core's rationale) ----
@@ -517,14 +525,15 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
         start += kt
     d_src_all = jnp.concatenate(d_src_parts, axis=1)  # [bg, K*N, H]
 
-    # scatter src grads: dx += O^T @ d_src, batched over the block's
-    # graph dim (contract the K*N rows).
-    dx = dx_flat.reshape(bg, n, h)
-    return dx + jax.lax.dot_general(
-        onehot_block.astype(compute_dtype), d_src_all,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+    # scatter src grads: dx += O^T @ d_src as ONE matmul against the
+    # block-diagonal one-hot (contract the whole bg*K*N row dim).
+    scat = jax.lax.dot_general(
+        onehot_block.astype(compute_dtype),
+        d_src_all.reshape(bg * k_tot * n, h),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # [bg*N, H]
+    return dx_flat.reshape(bg, n, h) + scat.reshape(bg, n, h)
 
 
 @functools.partial(
@@ -584,11 +593,37 @@ def fused_multiaggr_mp(
         .astype(jnp.float32)
     )
     mask = mask.astype(compute_dtype)
+    # Block-diagonalize the one-hot (round 5): [G, K*N, N] ->
+    # [G/b, b*K*N, b*N], so each kernel block's gather/scatter is ONE
+    # matmul instead of a b-batched dot_general that Mosaic serializes.
+    # Built once per episode by XLA (CSE'd across layers like mask/deg).
+    # The fwd and bwd run at different block sizes, and Mosaic requires
+    # partial blocks to be (8, 128)-divisible — a diagonal-sub-block
+    # view of one array is not — so each direction gets the array at
+    # its OWN granularity (full-dim blocks are always legal).
+    onehot_fwd = _block_diag_onehot(onehot, bg, n)
+    onehot_bwd = (
+        onehot_fwd if bg_bwd == bg else _block_diag_onehot(onehot, bg_bwd, n)
+    )
     op = _make_op(
         tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
-    out = op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj.reshape(1, -1))
+    out = op(
+        x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj,
+        b_proj.reshape(1, -1),
+    )
     return out[:g]
+
+
+def _block_diag_onehot(onehot: jnp.ndarray, b: int, n: int) -> jnp.ndarray:
+    """[G, K*N, N] -> [G/b, b*K*N, b*N] block-diagonal gather matrices."""
+    gb = onehot.shape[0] // b
+    kn = onehot.shape[1]
+    oh4 = onehot.reshape(gb, b, kn, n)
+    eye = jnp.eye(b, dtype=onehot.dtype)
+    return (oh4[:, :, :, None, :] * eye[None, :, None, :, None]).reshape(
+        gb, b * kn, b * n
+    )
 
 
 def _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna, bg, interpret, compute_dtype):
@@ -602,7 +637,9 @@ def _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, *, k_per_typ
         grid=(gp // bg,),
         in_specs=[
             pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg,) + onehot.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # block-diagonal one-hot [G/bg, bg*K*N, bg*N]: one superblock
+            # per grid step.
+            pl.BlockSpec((1,) + onehot.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + mask.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + deg.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w_msg.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -636,7 +673,8 @@ def _bwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, grad, *, k_per_type, u
         grid=(gp // bg,),
         in_specs=[
             pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+            # block-diagonal one-hot at the BWD's own granularity
+            pl.BlockSpec((1,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + mask.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + deg.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
@@ -670,21 +708,22 @@ def _make_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_name):
     static_bwd = dict(static, bg=bg_bwd)
 
     @jax.custom_vjp
-    def op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
-        return _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
+    def op(x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
+        return _fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
 
-    def fwd(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
-        out = _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
-        return out, (x, onehot, mask, deg, w_msg, b_msg, p_proj)
+    def fwd(x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
+        out = _fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
+        return out, (x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj)
 
     def bwd(res, grad):
-        x, onehot, mask, deg, w_msg, b_msg, p_proj = res
+        x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj = res
         dx, dw_msg, db_msg, dp_proj, db_proj = _bwd_call(
-            x, onehot, mask, deg, w_msg, b_msg, p_proj, grad, **static_bwd
+            x, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, grad, **static_bwd
         )
         return (
             dx.astype(x.dtype),
-            jnp.zeros_like(onehot),
+            jnp.zeros_like(onehot_fwd),
+            jnp.zeros_like(onehot_bwd),
             jnp.zeros_like(mask),
             jnp.zeros_like(deg),
             dw_msg.astype(w_msg.dtype),
@@ -759,7 +798,7 @@ def _block_kernel(
     alpha = alpha_ref[0, 0]
     n, h = x_ref.shape[1], x_ref.shape[2]
     m = _mp_block_fwd(
-        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
@@ -807,7 +846,7 @@ def _block_bwd_kernel(
     # over all bg*N rows (MXU-sized matmuls), then feed per-graph dm back
     # through the MP backward.
     m_all = _mp_block_fwd(
-        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     ).astype(compute_dtype).astype(jnp.float32).reshape(bg * n, h)
@@ -857,7 +896,7 @@ def _block_bwd_kernel(
     dm = alpha * dx1
 
     dx_mp = _mp_block_bwd(
-        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref,
         dm.reshape(bg, n, h), dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
         k_per_type, use_pna, compute_dtype,
@@ -904,26 +943,33 @@ def fused_gnn_block(
         .astype(jnp.float32)
     )
     mask = mask.astype(compute_dtype)
+    # Block-diagonal one-hots per direction (see fused_multiaggr_mp):
+    # one gather/scatter matmul per kernel block.
+    onehot_fwd = _block_diag_onehot(onehot, bg, n)
+    onehot_bwd = (
+        onehot_fwd if bg_bwd == bg else _block_diag_onehot(onehot, bg_bwd, n)
+    )
     op = _make_block_op(
         tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
     out = op(
-        x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj.reshape(1, -1),
+        x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj,
+        b_proj.reshape(1, -1),
         jnp.asarray(alpha, jnp.float32).reshape(1, 1),
         ln_scale, ln_bias, w1, b1, w2, b2,
     )
     return out[:g]
 
 
-def _block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim):
+def _block_specs(x, mask, w_msg, b_msg, p_proj, bg, h, i_dim, onehot_spec):
     blocked = lambda idx: (idx, 0, 0)
     fixed = lambda idx: (0, 0)
     fixed3 = lambda idx: (0, 0, 0)
     n = x.shape[1]
-    k_tot_n = onehot.shape[1]
+    k_tot_n = mask.shape[1]
     return [
         pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
-        pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+        onehot_spec,  # block-diagonal one-hot (fwd: superblock; bwd: diagonal sub-block)
         pl.BlockSpec((bg, k_tot_n, 1), blocked, memory_space=pltpu.VMEM),  # mask
         pl.BlockSpec((bg, n, 1), blocked, memory_space=pltpu.VMEM),        # deg
         pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
@@ -953,11 +999,14 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
         gp, n, h = x.shape
         i_dim = w1.shape[1]
         blocked = lambda idx: (idx, 0, 0)
+        oh_spec = pl.BlockSpec(
+            (1,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM
+        )
         return pl.pallas_call(
             functools.partial(_block_kernel, **static),
             out_shape=jax.ShapeDtypeStruct((gp, n, h), jnp.float32),
             grid=(gp // bg,),
-            in_specs=_block_specs(x, onehot, w_msg, b_msg, p_proj, bg, h, i_dim),
+            in_specs=_block_specs(x, mask, w_msg, b_msg, p_proj, bg, h, i_dim, oh_spec),
             out_specs=pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
             interpret=interpret,
             compiler_params=_compiler_params(),
@@ -971,7 +1020,14 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
         blocked = lambda idx: (idx, 0, 0)
         fixed = lambda idx: (0, 0)
         fixed3 = lambda idx: (0, 0, 0)
-        in_specs = _block_specs(x, onehot, w_msg, b_msg, p_proj, bg_bwd, h, i_dim) + [
+        # one-hot block-diagonalized at the BWD's own granularity (full-
+        # dim blocks; Mosaic rejects non-(8,128)-divisible partial ones).
+        oh_spec = pl.BlockSpec(
+            (1,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM
+        )
+        in_specs = _block_specs(
+            x, mask, w_msg, b_msg, p_proj, bg_bwd, h, i_dim, oh_spec
+        ) + [
             pl.BlockSpec((bg_bwd, n, h), blocked, memory_space=pltpu.VMEM),  # grad
         ]
         return pl.pallas_call(
@@ -1012,25 +1068,30 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
           ln_scale, ln_bias, w1, b1, w2, b2, grad)
 
     @jax.custom_vjp
-    def op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
-           ln_scale, ln_bias, w1, b1, w2, b2):
-        return fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
-                        ln_scale, ln_bias, w1, b1, w2, b2)
+    def op(x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
+           alpha2d, ln_scale, ln_bias, w1, b1, w2, b2):
+        return fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
+                        alpha2d, ln_scale, ln_bias, w1, b1, w2, b2)
 
     def fwd(*args):
-        return fwd_call(*args), args
+        (x, onehot_fwd, _oh_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
+         alpha2d, ln_scale, ln_bias, w1, b1, w2, b2) = args
+        out = fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
+                       alpha2d, ln_scale, ln_bias, w1, b1, w2, b2)
+        return out, args
 
     def bwd(res, grad):
-        (x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
-         ln_scale, ln_bias, w1, b1, w2, b2) = res
+        (x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
+         alpha2d, ln_scale, ln_bias, w1, b1, w2, b2) = res
         (dx, dw_msg, db_msg, dp_proj, db_proj, dalpha,
          dln_scale, dln_bias, dw1, db1, dw2, db2) = bwd_call(
-            x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+            x, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
             ln_scale, ln_bias, w1, b1, w2, b2, grad,
         )
         return (
             dx.astype(x.dtype),
-            jnp.zeros_like(onehot),
+            jnp.zeros_like(onehot_fwd),
+            jnp.zeros_like(onehot_bwd),
             jnp.zeros_like(mask),
             jnp.zeros_like(deg),
             dw_msg.astype(w_msg.dtype),

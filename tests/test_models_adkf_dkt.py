@@ -356,3 +356,54 @@ def test_feature_diversity_reg_in_outer_loss():
     object.__delattr__(legacy, "feature_diversity_reg")
     l_legacy = float(adkf.episode_outer_loss(legacy, params, ep))
     assert abs(l_legacy - l0) < 1e-6
+
+
+def test_graft_encoder_full_and_gnn_subtree(tmp_path):
+    """--init-encoder-from: full graft between same-architecture models
+    (DKT donor -> ADKF), GNN-subtree fallback when FC heads differ, and
+    a loud failure when the GNN itself differs."""
+    from adkf_ift_tpu.cli._episodic import graft_encoder
+    from adkf_ift_tpu.utils.checkpoints import save_checkpoint
+
+    feats = _tiny_features()
+    ep = _episodes(1)[0]
+    acfg = adkf.ADKFModelConfig(features=feats, inner_optimizer=_FAST_OPT)
+    dcfg = dkt.DKTModelConfig(features=feats)
+    dkt_params = dkt.init_params(dcfg, jax.random.PRNGKey(1), ep.support)
+    ckpt = str(tmp_path / "dkt_ckpt")
+    save_checkpoint(ckpt, dcfg, dkt_params, step=7)
+
+    # full graft: DKT donor encoder -> ADKF params (same feature config)
+    adkf_params = adkf.init_encoder_params(acfg, jax.random.PRNGKey(2), ep.support)
+    grafted = graft_encoder(adkf_params, ckpt)
+    a, b = jax.tree.leaves(grafted), jax.tree.leaves(dkt_params.encoder)
+    assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+    # subtree graft: different FC head width -> only the GNN subtree moves
+    import dataclasses
+    wide = dataclasses.replace(feats, fc_out_dim=64)
+    wcfg = adkf.ADKFModelConfig(features=wide, inner_optimizer=_FAST_OPT)
+    wide_params = adkf.init_encoder_params(wcfg, jax.random.PRNGKey(3), ep.support)
+    g2 = graft_encoder(wide_params, ckpt)
+    gfe = g2["params"]["graph_feature_extractor"]
+    want = dkt_params.encoder["params"]["graph_feature_extractor"]
+    a, b = jax.tree.leaves(gfe), jax.tree.leaves(want)
+    assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+    # FC head untouched (fresh init values)
+    assert np.allclose(
+        np.asarray(g2["params"]["fc1"]["kernel"]),
+        np.asarray(wide_params["params"]["fc1"]["kernel"]),
+    )
+
+    # different GNN config -> loud error
+    gnn_diff = dataclasses.replace(
+        feats,
+        graph_config=dataclasses.replace(
+            feats.graph_config,
+            gnn_config=dataclasses.replace(feats.graph_config.gnn_config, hidden_dim=64, num_heads=4),
+        ),
+    )
+    bcfg = adkf.ADKFModelConfig(features=gnn_diff, inner_optimizer=_FAST_OPT)
+    bad = adkf.init_encoder_params(bcfg, jax.random.PRNGKey(4), ep.support)
+    with pytest.raises(ValueError, match="init-encoder-from"):
+        graft_encoder(bad, ckpt)
