@@ -15,12 +15,12 @@ kernel is bound by MATMUL/op ISSUE count, not FLOPs — docs/MFU.md):
   * slot-minor layout: incoming-edge slot k of all N nodes is one
     contiguous [N, ...] row block, so every slice is a static SUBLANE
     (row) slice — no 32-wide lane slicing anywhere;
-  * the gather is ONE [bg*K*N, bg*N] @ [bg*N, H] matmul per block
-    against a BLOCK-DIAGONALIZED masked one-hot (round 5; a bg-batched
-    dot_general serializes into bg small matmuls on Mosaic), and the
-    bwd scatter is its one-matmul transpose; the bwd's smaller blocks
-    read the diagonal sub-blocks of the same array via their BlockSpec
-    index map;
+  * gathers/scatters are bg-BATCHED one-hot dot_generals per block
+    (no dynamic_slice on values). A round-5 experiment replaced them
+    with one block-diagonal matmul per block and MEASURED SLOWER
+    end-to-end (bench 2.21 -> 2.00): the XLA-side block-diagonal
+    construction/traffic costs more than the serialized batch matmuls
+    save;
   * the message MLPs run as TWO matmuls per edge type (source half over
     the type's whole contiguous slot segment, target half shared by all
     its slots) against a host-packed block-diagonal weight [2H, F]
@@ -209,14 +209,15 @@ def _stacked_forward_core(x_block, onehot_block, mask_block, deg_block,
     x_cd = x_block.astype(compute_dtype)
     x_flat = x_cd.reshape(bg * n, h)
 
-    # Gather as ONE unbatched matmul per block: the one-hot arrives
-    # BLOCK-DIAGONALIZED ([bg*K*N, bg*N], built once per episode by XLA)
-    # so the whole block's gather is a single [bg*K*N, bg*N] @ [bg*N, H]
-    # dot instead of a bg-batched dot_general that Mosaic serializes into
-    # bg small matmuls (round 5: the kernel is matmul-ISSUE-bound; the
-    # gathers/scatters were the largest issue population).
-    src_all = jnp.dot(
-        onehot_block.astype(compute_dtype), x_flat,
+    # Gathers as ONE batched dot_general over the block (batch dim = the
+    # graph). Round-5 NOTE: a block-diagonalized single-matmul gather was
+    # tried and MEASURED SLOWER end-to-end (bench 2.21 -> 2.00; fwd 231
+    # -> 265 ms) — the XLA-side [G/bg, bg*K*N, bg*N] construction /
+    # traffic costs more than the serialized batch matmuls save, so the
+    # batched form stands (docs/MFU.md round 5).
+    src_all = jax.lax.dot_general(
+        onehot_block.astype(compute_dtype), x_cd,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(compute_dtype).reshape(bg, k_tot * n, h)
     deg = deg_block.reshape(bg * n, 1).astype(jnp.float32)
@@ -307,7 +308,7 @@ def _mp_block_fwd(x_block, onehot_block, mask_block, deg_block,
 
 def _mp_kernel(
     x_ref,        # [BG, N, H]
-    onehot_ref,   # [1, BG*K*N, BG*N] — block-diagonal masked one-hot
+    onehot_ref,   # [BG, K*N, N] — host-prebuilt masked one-hot gather
     mask_ref,     # [BG, K*N, 1] — static slot masks (XLA-precomputed)
     deg_ref,      # [BG, N, 1] — static node degrees
     w_msg_ref,    # [T, 2H, F]
@@ -322,7 +323,7 @@ def _mp_kernel(
     compute_dtype,
 ):
     out = _mp_block_fwd(
-        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
@@ -349,8 +350,7 @@ def slot_minor_onehot(in_src, in_mask, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 def _mp_bwd_kernel(
     x_ref,        # [BG, N, H]
-    onehot_ref,   # [1, BG*K*N, BG*N] — diagonal sub-block of the fwd's
-                  # block-diagonal one-hot (see _bwd_call's index map)
+    onehot_ref,   # [BG, K*N, N]
     mask_ref,     # [BG, K*N, 1]
     deg_ref,      # [BG, N, 1]
     w_msg_ref,    # [T, 2H, F]
@@ -380,7 +380,7 @@ def _mp_bwd_kernel(
         db_proj_ref[...] = jnp.zeros_like(db_proj_ref)
 
     dx = _mp_block_bwd(
-        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref,
         g_ref[...].astype(jnp.float32),
         dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
@@ -525,15 +525,15 @@ def _mp_block_bwd(x_block, onehot_block, mask_block, deg_block,
         start += kt
     d_src_all = jnp.concatenate(d_src_parts, axis=1)  # [bg, K*N, H]
 
-    # scatter src grads: dx += O^T @ d_src as ONE matmul against the
-    # block-diagonal one-hot (contract the whole bg*K*N row dim).
-    scat = jax.lax.dot_general(
-        onehot_block.astype(compute_dtype),
-        d_src_all.reshape(bg * k_tot * n, h),
-        dimension_numbers=(((0,), (0,)), ((), ())),
+    # scatter src grads: dx += O^T @ d_src, batched over the block's
+    # graph dim (contract the K*N rows; see the fwd gather's round-5
+    # note on why this stays batched).
+    dx = dx_flat.reshape(bg, n, h)
+    return dx + jax.lax.dot_general(
+        onehot_block.astype(compute_dtype), d_src_all,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [bg*N, H]
-    return dx_flat.reshape(bg, n, h) + scat.reshape(bg, n, h)
+    )
 
 
 @functools.partial(
@@ -593,37 +593,11 @@ def fused_multiaggr_mp(
         .astype(jnp.float32)
     )
     mask = mask.astype(compute_dtype)
-    # Block-diagonalize the one-hot (round 5): [G, K*N, N] ->
-    # [G/b, b*K*N, b*N], so each kernel block's gather/scatter is ONE
-    # matmul instead of a b-batched dot_general that Mosaic serializes.
-    # Built once per episode by XLA (CSE'd across layers like mask/deg).
-    # The fwd and bwd run at different block sizes, and Mosaic requires
-    # partial blocks to be (8, 128)-divisible — a diagonal-sub-block
-    # view of one array is not — so each direction gets the array at
-    # its OWN granularity (full-dim blocks are always legal).
-    onehot_fwd = _block_diag_onehot(onehot, bg, n)
-    onehot_bwd = (
-        onehot_fwd if bg_bwd == bg else _block_diag_onehot(onehot, bg_bwd, n)
-    )
     op = _make_op(
         tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
-    out = op(
-        x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj,
-        b_proj.reshape(1, -1),
-    )
+    out = op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj.reshape(1, -1))
     return out[:g]
-
-
-def _block_diag_onehot(onehot: jnp.ndarray, b: int, n: int) -> jnp.ndarray:
-    """[G, K*N, N] -> [G/b, b*K*N, b*N] block-diagonal gather matrices."""
-    gb = onehot.shape[0] // b
-    kn = onehot.shape[1]
-    oh4 = onehot.reshape(gb, b, kn, n)
-    eye = jnp.eye(b, dtype=onehot.dtype)
-    return (oh4[:, :, :, None, :] * eye[None, :, None, :, None]).reshape(
-        gb, b * kn, b * n
-    )
 
 
 def _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, *, k_per_type, use_pna, bg, interpret, compute_dtype):
@@ -637,9 +611,7 @@ def _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, *, k_per_typ
         grid=(gp // bg,),
         in_specs=[
             pl.BlockSpec((bg, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # block-diagonal one-hot [G/bg, bg*K*N, bg*N]: one superblock
-            # per grid step.
-            pl.BlockSpec((1,) + onehot.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + onehot.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + mask.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + deg.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w_msg.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -673,8 +645,7 @@ def _bwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, grad, *, k_per_type, u
         grid=(gp // bg,),
         in_specs=[
             pl.BlockSpec((bg, n, h), blocked, memory_space=pltpu.VMEM),
-            # block-diagonal one-hot at the BWD's own granularity
-            pl.BlockSpec((1,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + mask.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec((bg,) + deg.shape[1:], blocked, memory_space=pltpu.VMEM),
             pl.BlockSpec(w_msg.shape, fixed3, memory_space=pltpu.VMEM),
@@ -708,22 +679,21 @@ def _make_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_name):
     static_bwd = dict(static, bg=bg_bwd)
 
     @jax.custom_vjp
-    def op(x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
-        return _fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
+    def op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
+        return _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
 
-    def fwd(x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
-        out = _fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
-        return out, (x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj)
+    def fwd(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d):
+        out = _fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, **static)
+        return out, (x, onehot, mask, deg, w_msg, b_msg, p_proj)
 
     def bwd(res, grad):
-        x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj = res
+        x, onehot, mask, deg, w_msg, b_msg, p_proj = res
         dx, dw_msg, db_msg, dp_proj, db_proj = _bwd_call(
-            x, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, grad, **static_bwd
+            x, onehot, mask, deg, w_msg, b_msg, p_proj, grad, **static_bwd
         )
         return (
             dx.astype(x.dtype),
-            jnp.zeros_like(onehot_fwd),
-            jnp.zeros_like(onehot_bwd),
+            jnp.zeros_like(onehot),
             jnp.zeros_like(mask),
             jnp.zeros_like(deg),
             dw_msg.astype(w_msg.dtype),
@@ -798,7 +768,7 @@ def _block_kernel(
     alpha = alpha_ref[0, 0]
     n, h = x_ref.shape[1], x_ref.shape[2]
     m = _mp_block_fwd(
-        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     )
@@ -846,7 +816,7 @@ def _block_bwd_kernel(
     # over all bg*N rows (MXU-sized matmuls), then feed per-graph dm back
     # through the MP backward.
     m_all = _mp_block_fwd(
-        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref, b_proj_ref,
         k_per_type, use_pna, compute_dtype,
     ).astype(compute_dtype).astype(jnp.float32).reshape(bg * n, h)
@@ -896,7 +866,7 @@ def _block_bwd_kernel(
     dm = alpha * dx1
 
     dx_mp = _mp_block_bwd(
-        x_ref[...], onehot_ref[0], mask_ref[...], deg_ref[...],
+        x_ref[...], onehot_ref[...], mask_ref[...], deg_ref[...],
         w_msg_ref, b_msg_ref, p_proj_ref,
         dm.reshape(bg, n, h), dw_msg_ref, db_msg_ref, dp_proj_ref, db_proj_ref,
         k_per_type, use_pna, compute_dtype,
@@ -943,18 +913,11 @@ def fused_gnn_block(
         .astype(jnp.float32)
     )
     mask = mask.astype(compute_dtype)
-    # Block-diagonal one-hots per direction (see fused_multiaggr_mp):
-    # one gather/scatter matmul per kernel block.
-    onehot_fwd = _block_diag_onehot(onehot, bg, n)
-    onehot_bwd = (
-        onehot_fwd if bg_bwd == bg else _block_diag_onehot(onehot, bg_bwd, n)
-    )
     op = _make_block_op(
         tuple(k_per_type), use_pna, bg, bg_bwd, interpret, jnp.dtype(compute_dtype).name
     )
     out = op(
-        x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj,
-        b_proj.reshape(1, -1),
+        x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj.reshape(1, -1),
         jnp.asarray(alpha, jnp.float32).reshape(1, 1),
         ln_scale, ln_bias, w1, b1, w2, b2,
     )
@@ -1000,7 +963,7 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
         i_dim = w1.shape[1]
         blocked = lambda idx: (idx, 0, 0)
         oh_spec = pl.BlockSpec(
-            (1,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM
+            (bg,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
             functools.partial(_block_kernel, **static),
@@ -1020,10 +983,8 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
         blocked = lambda idx: (idx, 0, 0)
         fixed = lambda idx: (0, 0)
         fixed3 = lambda idx: (0, 0, 0)
-        # one-hot block-diagonalized at the BWD's own granularity (full-
-        # dim blocks; Mosaic rejects non-(8,128)-divisible partial ones).
         oh_spec = pl.BlockSpec(
-            (1,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM
+            (bg_bwd,) + onehot.shape[1:], blocked, memory_space=pltpu.VMEM
         )
         in_specs = _block_specs(
             x, mask, w_msg, b_msg, p_proj, bg_bwd, h, i_dim, oh_spec
@@ -1068,30 +1029,25 @@ def _make_block_op(k_per_type, use_pna, bg, bg_bwd, interpret, compute_dtype_nam
           ln_scale, ln_bias, w1, b1, w2, b2, grad)
 
     @jax.custom_vjp
-    def op(x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
-           alpha2d, ln_scale, ln_bias, w1, b1, w2, b2):
-        return fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
+    def op(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+           ln_scale, ln_bias, w1, b1, w2, b2):
+        return fwd_call(x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
                         alpha2d, ln_scale, ln_bias, w1, b1, w2, b2)
 
     def fwd(*args):
-        (x, onehot_fwd, _oh_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
-         alpha2d, ln_scale, ln_bias, w1, b1, w2, b2) = args
-        out = fwd_call(x, onehot_fwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
-                       alpha2d, ln_scale, ln_bias, w1, b1, w2, b2)
-        return out, args
+        return fwd_call(*args), args
 
     def bwd(res, grad):
-        (x, onehot_fwd, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d,
-         alpha2d, ln_scale, ln_bias, w1, b1, w2, b2) = res
+        (x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+         ln_scale, ln_bias, w1, b1, w2, b2) = res
         (dx, dw_msg, db_msg, dp_proj, db_proj, dalpha,
          dln_scale, dln_bias, dw1, db1, dw2, db2) = bwd_call(
-            x, onehot_bwd, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
+            x, onehot, mask, deg, w_msg, b_msg, p_proj, b_proj2d, alpha2d,
             ln_scale, ln_bias, w1, b1, w2, b2, grad,
         )
         return (
             dx.astype(x.dtype),
-            jnp.zeros_like(onehot_fwd),
-            jnp.zeros_like(onehot_bwd),
+            jnp.zeros_like(onehot),
             jnp.zeros_like(mask),
             jnp.zeros_like(deg),
             dw_msg.astype(w_msg.dtype),
